@@ -1,0 +1,31 @@
+"""Colour-space conversions (reference: ``neusky/utils/utils.py:11-31``)."""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def linear_to_sRGB(color: jnp.ndarray, use_quantile: bool = False) -> jnp.ndarray:
+    """Linear RGB → sRGB with final clamp to [0, 1].
+
+    Matches the reference exactly (``utils.py:11-31``), including the
+    optional 98th-quantile normalisation used for HDR viz.
+    """
+    if use_quantile:
+        q = jnp.quantile(color.reshape(-1), 0.98)
+        color = color / q
+    color = jnp.where(
+        color <= 0.0031308,
+        12.92 * color,
+        1.055 * jnp.power(jnp.abs(color), 1.0 / 2.4) - 0.055,
+    )
+    return jnp.clip(color, 0.0, 1.0)
+
+
+def sRGB_to_linear(color: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of :func:`linear_to_sRGB` (without the clamp)."""
+    return jnp.where(
+        color <= 0.04045,
+        color / 12.92,
+        jnp.power((color + 0.055) / 1.055, 2.4),
+    )

@@ -1,0 +1,200 @@
+"""SIREN / FiLM-SIREN / mapping network (flax.linen).
+
+TPU-native rebuild of the SIREN machinery the DDF and RENI++ fields use
+(reference local copy ``neusky/utils/siren.py``; consumed via
+``reni.field_components.{siren,film_siren}`` at
+``directional_distance_field.py:36-38,220-243``).
+
+Initialisation schemes match the reference:
+  - SIREN first layer: U(-1/in, 1/in); hidden: U(±sqrt(6/in)/ω);
+    forward is sin(ω · (Wx+b))  (``siren.py:27-42``).
+  - FiLM mapping network: LeakyReLU(0.2) MLP with kaiming init, last layer
+    weights scaled by 0.25 (``siren.py:108-125``); produced frequencies are
+    affine-adjusted as f*15 + 30 (``siren.py:200``).
+  - FiLM layers: sin(freq · (Wx+b) + phase); frequency_init(25) for hidden,
+    U(-1/in, 1/in) for the first layer (``siren.py:185-187``).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+
+def _siren_first_init(rng, shape, dtype=jnp.float32):
+    in_dim = shape[0]
+    return jax.random.uniform(rng, shape, dtype, -1.0 / in_dim, 1.0 / in_dim)
+
+
+def _siren_hidden_init(omega: float):
+    def init(rng, shape, dtype=jnp.float32):
+        in_dim = shape[0]
+        bound = np.sqrt(6.0 / in_dim) / omega
+        return jax.random.uniform(rng, shape, dtype, -bound, bound)
+
+    return init
+
+
+def _frequency_init(freq: float):
+    def init(rng, shape, dtype=jnp.float32):
+        in_dim = shape[0]
+        bound = np.sqrt(6.0 / in_dim) / freq
+        return jax.random.uniform(rng, shape, dtype, -bound, bound)
+
+    return init
+
+
+def _kaiming_leaky_init(rng, shape, dtype=jnp.float32):
+    # torch kaiming_normal_(a=0.2, fan_in, leaky_relu)
+    in_dim = shape[0]
+    gain = np.sqrt(2.0 / (1.0 + 0.2**2))
+    std = gain / np.sqrt(in_dim)
+    return std * jax.random.normal(rng, shape, dtype)
+
+
+# torch nn.Linear default bias init: U(±1/sqrt(fan_in))
+def _torch_bias_init(rng, shape, dtype=jnp.float32, fan_in: int = 1):
+    bound = 1.0 / np.sqrt(fan_in)
+    return jax.random.uniform(rng, shape, dtype, -bound, bound)
+
+
+class SineLayer(nn.Module):
+    features: int
+    omega_0: float = 30.0
+    is_first: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        in_dim = x.shape[-1]
+        init = _siren_first_init if self.is_first else _siren_hidden_init(self.omega_0)
+        w = self.param("kernel", init, (in_dim, self.features))
+        b = self.param(
+            "bias", lambda r, s: _torch_bias_init(r, s, fan_in=in_dim), (self.features,)
+        )
+        return jnp.sin(self.omega_0 * (jnp.dot(x, w, preferred_element_type=jnp.float32) + b))
+
+
+class Siren(nn.Module):
+    """SIREN MLP (``siren.py:45-81`` / reni ``Siren``).
+
+    ``in_dim`` is implicit; call signature matches the reni contract at
+    ``directional_distance_field.py:222-231``.
+    """
+
+    hidden_layers: int
+    hidden_features: int
+    out_dim: int
+    outermost_linear: bool = True
+    first_omega_0: float = 30.0
+    hidden_omega_0: float = 30.0
+    out_activation: Optional[Callable] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = SineLayer(self.hidden_features, self.first_omega_0, is_first=True)(x)
+        for _ in range(self.hidden_layers):
+            x = SineLayer(self.hidden_features, self.hidden_omega_0)(x)
+        if self.outermost_linear:
+            in_dim = x.shape[-1]
+            w = self.param(
+                "out_kernel", _siren_hidden_init(self.hidden_omega_0), (in_dim, self.out_dim)
+            )
+            b = self.param(
+                "out_bias", lambda r, s: _torch_bias_init(r, s, fan_in=in_dim), (self.out_dim,)
+            )
+            x = jnp.dot(x, w, preferred_element_type=jnp.float32) + b
+        else:
+            x = SineLayer(self.out_dim, self.hidden_omega_0)(x)
+        if self.out_activation is not None:
+            x = self.out_activation(x)
+        return x
+
+
+class MappingNetwork(nn.Module):
+    """FiLM conditioning mapping network (``siren.py:108-132``): LeakyReLU(0.2)
+    MLP emitting concatenated (frequencies, phase_shifts)."""
+
+    hidden_layers: int
+    hidden_features: int
+    out_dim: int  # = 2 * n_film_layers * siren_hidden_features
+
+    @nn.compact
+    def __call__(self, z: jnp.ndarray):
+        x = z
+        for i in range(self.hidden_layers):
+            in_dim = x.shape[-1]
+            w = self.param(f"kernel_{i}", _kaiming_leaky_init, (in_dim, self.hidden_features))
+            b = self.param(
+                f"bias_{i}",
+                lambda r, s, fi=in_dim: _torch_bias_init(r, s, fan_in=fi),
+                (self.hidden_features,),
+            )
+            x = jax.nn.leaky_relu(jnp.dot(x, w, preferred_element_type=jnp.float32) + b, 0.2)
+        in_dim = x.shape[-1]
+        w = self.param(
+            "kernel_out",
+            lambda r, s: _kaiming_leaky_init(r, s) * 0.25,
+            (in_dim, self.out_dim),
+        )
+        b = self.param(
+            "bias_out", lambda r, s: _torch_bias_init(r, s, fan_in=in_dim), (self.out_dim,)
+        )
+        out = jnp.dot(x, w, preferred_element_type=jnp.float32) + b
+        freqs, phases = jnp.split(out, 2, axis=-1)
+        return freqs, phases
+
+
+class FiLMSiren(nn.Module):
+    """FiLM-conditioned SIREN (``siren.py:147-208``; reni ``FiLMSiren``
+    contract at ``directional_distance_field.py:233-243``).
+
+    ``__call__(x, conditioning_input)``: x is the per-ray input (directions),
+    conditioning_input drives the mapping network (positions / latents).
+    """
+
+    hidden_layers: int
+    hidden_features: int
+    mapping_network_layers: int
+    mapping_network_features: int
+    out_dim: int
+    outermost_linear: bool = True
+    out_activation: Optional[Callable] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, conditioning_input: jnp.ndarray) -> jnp.ndarray:
+        n_film = self.hidden_layers  # film layers: first + (hidden-1) as in ref
+        freqs, phases = MappingNetwork(
+            hidden_layers=self.mapping_network_layers,
+            hidden_features=self.mapping_network_features,
+            out_dim=2 * n_film * self.hidden_features,
+        )(conditioning_input)
+        freqs = freqs * 15.0 + 30.0  # ``siren.py:200``
+
+        h = x
+        for i in range(n_film):
+            in_dim = h.shape[-1]
+            init = _siren_first_init if i == 0 else _frequency_init(25.0)
+            w = self.param(f"film_kernel_{i}", init, (in_dim, self.hidden_features))
+            b = self.param(
+                f"film_bias_{i}",
+                lambda r, s, fi=in_dim: _torch_bias_init(r, s, fan_in=fi),
+                (self.hidden_features,),
+            )
+            lin = jnp.dot(h, w, preferred_element_type=jnp.float32) + b
+            f = freqs[..., i * self.hidden_features : (i + 1) * self.hidden_features]
+            p = phases[..., i * self.hidden_features : (i + 1) * self.hidden_features]
+            h = jnp.sin(f * lin + p)
+
+        in_dim = h.shape[-1]
+        w = self.param("out_kernel", _frequency_init(25.0), (in_dim, self.out_dim))
+        b = self.param(
+            "out_bias", lambda r, s: _torch_bias_init(r, s, fan_in=in_dim), (self.out_dim,)
+        )
+        out = jnp.dot(h, w, preferred_element_type=jnp.float32) + b
+        if self.out_activation is not None:
+            out = self.out_activation(out)
+        return out

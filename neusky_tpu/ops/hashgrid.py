@@ -1,0 +1,162 @@
+"""Multi-resolution hash-grid encoding (Instant-NGP style), TPU-native.
+
+Replaces the reference's dependency on tiny-cuda-nn (``tcnn.Encoding`` with
+``otype=HashGrid``, ``sdf_albedo_field.py:119-130`` and
+``directional_distance_field.py:146-175``).
+
+Design notes (TPU):
+  - The encode is expressed as 8 XLA gathers per level from a ``[L, T, F]``
+    table plus d-linear interpolation; XLA lowers the backward pass to
+    scatter-adds into the table.  Both the forward and the VJP are themselves
+    differentiable, which the eikonal loss needs (grad-of-grad through the
+    encoding, reference ``sdf_albedo_field.py:231-238``).
+  - Corner gathers for all levels are batched into a single gather of shape
+    ``[N, L*8]`` from a flattened ``[L*T, F]`` table so XLA emits one fused
+    gather kernel instead of 16.
+  - Smoothstep interpolation (``tcnn "Smoothstep"``) is supported; unlike
+    trilinear it has non-vanishing second derivatives, which benefits
+    curvature-style losses.
+  - A Pallas fused kernel (hash lookup + interp) lives in
+    ``neusky_tpu.ops.hashgrid_pallas`` and is used when enabled.
+
+The hash function matches Instant-NGP: xor of coordinates times the primes
+(1, 2654435761, 805459861), masked to the table size.  Levels whose dense
+grid fits in the table are indexed densely (tcnn behaviour).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_PRIMES = (1, 2654435761, 805459861)
+
+
+@dataclasses.dataclass(frozen=True)
+class HashGridConfig:
+    num_levels: int = 16
+    features_per_level: int = 2
+    log2_hashmap_size: int = 19
+    base_res: int = 16
+    max_res: int = 2048
+    use_hash: bool = True  # False → dense grid at every level (small tables)
+    smoothstep: bool = False
+
+    @property
+    def table_size(self) -> int:
+        return 1 << self.log2_hashmap_size
+
+    @property
+    def out_dim(self) -> int:
+        return self.num_levels * self.features_per_level
+
+    @property
+    def growth_factor(self) -> float:
+        if self.num_levels == 1:
+            return 1.0
+        return float(
+            np.exp((np.log(self.max_res) - np.log(self.base_res)) / (self.num_levels - 1))
+        )
+
+    def resolutions(self) -> Tuple[int, ...]:
+        g = self.growth_factor
+        return tuple(
+            int(np.floor(self.base_res * (g**lvl))) for lvl in range(self.num_levels)
+        )
+
+
+class HashGridEncoding:
+    """Functional hash-grid: ``init(rng) -> table``, ``__call__(table, x)``.
+
+    ``x`` must live in [0, 1]^3 (callers contract/normalise first).
+    Table shape: [num_levels, table_size, features_per_level].
+    """
+
+    def __init__(self, config: HashGridConfig):
+        self.config = config
+        res = config.resolutions()
+        self._resolutions = np.asarray(res, dtype=np.int32)
+        # Per-level dense indexing when the grid fits in the table (tcnn rule).
+        self._dense = np.array(
+            [
+                (not config.use_hash) or ((r + 1) ** 3 <= config.table_size)
+                for r in res
+            ]
+        )
+        # Precompute the 8 corner offsets.
+        self._corners = np.array(
+            [[i, j, k] for i in (0, 1) for j in (0, 1) for k in (0, 1)],
+            dtype=np.int32,
+        )  # [8, 3]
+
+    @property
+    def out_dim(self) -> int:
+        return self.config.out_dim
+
+    def init(self, rng: jax.Array, dtype=jnp.float32) -> jnp.ndarray:
+        """tcnn-style init: uniform in [-1e-4, 1e-4]."""
+        c = self.config
+        return jax.random.uniform(
+            rng,
+            (c.num_levels, c.table_size, c.features_per_level),
+            dtype=dtype,
+            minval=-1e-4,
+            maxval=1e-4,
+        )
+
+    def _level_indices(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Compute corner table indices and interp weights for all levels.
+
+        x: [N, 3] in [0,1].  Returns (indices [N, L, 8] int32 into the
+        *flattened* [L*T, F] table, weights [N, L, 8]).
+        """
+        c = self.config
+        res = jnp.asarray(self._resolutions)  # [L]
+        scaled = x[:, None, :] * res[None, :, None].astype(x.dtype)  # [N, L, 3]
+        floor = jnp.floor(scaled)
+        frac = scaled - floor  # [N, L, 3]
+        base = floor.astype(jnp.int32)  # [N, L, 3]
+
+        corners = jnp.asarray(self._corners)  # [8, 3]
+        coords = base[:, :, None, :] + corners[None, None, :, :]  # [N, L, 8, 3]
+
+        # hashed index
+        p = jnp.asarray(_PRIMES, dtype=jnp.uint32)
+        cu = coords.astype(jnp.uint32)
+        hashed = (cu[..., 0] * p[0]) ^ (cu[..., 1] * p[1]) ^ (cu[..., 2] * p[2])
+        hashed = (hashed & jnp.uint32(c.table_size - 1)).astype(jnp.int32)
+
+        # dense index for small levels: x + y*(R+1) + z*(R+1)^2, clipped
+        rp1 = (res + 1)[None, :, None]  # [1, L, 1]
+        cc = jnp.minimum(coords, rp1[..., None] - 1)
+        dense_idx = cc[..., 0] + cc[..., 1] * rp1 + cc[..., 2] * rp1 * rp1
+        dense_idx = jnp.minimum(dense_idx, c.table_size - 1)
+
+        dense_mask = jnp.asarray(self._dense)[None, :, None]  # [1, L, 1]
+        idx = jnp.where(dense_mask, dense_idx, hashed)  # [N, L, 8]
+
+        # offset into flattened [L*T] axis
+        level_offset = (jnp.arange(c.num_levels, dtype=jnp.int32) * c.table_size)
+        idx = idx + level_offset[None, :, None]
+
+        # interpolation weights
+        if c.smoothstep:
+            frac = frac * frac * (3.0 - 2.0 * frac)
+        w = jnp.where(corners[None, None, :, :] == 1, frac[:, :, None, :], 1.0 - frac[:, :, None, :])
+        weights = jnp.prod(w, axis=-1)  # [N, L, 8]
+        return idx, weights
+
+    def __call__(self, table: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+        """Encode positions. x: [N, 3] in [0,1] → [N, L*F]."""
+        c = self.config
+        n = x.shape[0]
+        idx, weights = self._level_indices(x)
+        flat_table = table.reshape(c.num_levels * c.table_size, c.features_per_level)
+        feats = jnp.take(flat_table, idx.reshape(n, -1), axis=0)  # [N, L*8, F]
+        feats = feats.reshape(n, c.num_levels, 8, c.features_per_level)
+        out = jnp.sum(feats * weights[..., None].astype(feats.dtype), axis=2)  # [N, L, F]
+        return out.reshape(n, c.out_dim)

@@ -1,0 +1,122 @@
+"""Tests for encodings: NeRF frequency, SH, multi-res hash grid."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from neusky_tpu.ops.encodings import nerf_encoding, nerf_encoding_dim, sh_encoding
+from neusky_tpu.ops.hashgrid import HashGridConfig, HashGridEncoding
+
+
+def test_nerf_encoding_shapes_and_values():
+    x = jnp.array([[0.25, 0.5, -0.5]])
+    enc = nerf_encoding(x, num_frequencies=6, min_freq_exp=0.0, max_freq_exp=5.0)
+    assert enc.shape == (1, nerf_encoding_dim(3, 6))
+    enc_i = nerf_encoding(x, 4, 0.0, 3.0, include_input=True)
+    assert enc_i.shape == (1, nerf_encoding_dim(3, 4, include_input=True))
+    assert np.allclose(enc_i[0, -3:], x[0])
+    # freq 2^0: sin(2*pi*x), cos(2*pi*x)
+    assert np.allclose(enc[0, 0], np.sin(2 * np.pi * 0.25), atol=1e-5)
+
+
+def test_sh_encoding():
+    d = jnp.array([[0.0, 0.0, 1.0], [1.0, 0.0, 0.0]])
+    sh = sh_encoding(d, levels=4)
+    assert sh.shape == (2, 16)
+    assert np.allclose(sh[:, 0], 0.28209479, atol=1e-6)
+    # l=1 band for +z: only the z component non-zero
+    assert np.allclose(sh[0, 1], 0.0, atol=1e-6)
+    assert np.allclose(sh[0, 2], 0.48860251, atol=1e-6)
+
+
+class TestHashGrid:
+    def _enc(self, **kw):
+        cfg = HashGridConfig(
+            num_levels=4, features_per_level=2, log2_hashmap_size=12,
+            base_res=4, max_res=32, **kw,
+        )
+        return HashGridEncoding(cfg)
+
+    def test_shapes(self):
+        enc = self._enc()
+        table = enc.init(jax.random.PRNGKey(0))
+        x = jax.random.uniform(jax.random.PRNGKey(1), (128, 3))
+        out = enc(table, x)
+        assert out.shape == (128, enc.out_dim)
+
+    def test_interpolation_exact_at_vertices(self):
+        """At a grid vertex the encoding equals the table entry (dense level)."""
+        enc = self._enc()
+        table = enc.init(jax.random.PRNGKey(0))
+        # level 0 is dense with res 4; position exactly at vertex (1,2,3)/4
+        x = jnp.array([[1.0 / 4, 2.0 / 4, 3.0 / 4]])
+        out = enc(table, x)
+        # dense index at level 0: 1 + 2*5 + 3*25 = 86
+        expected = table[0, 86]
+        assert np.allclose(out[0, :2], expected, atol=1e-6)
+
+    def test_continuity(self):
+        enc = self._enc()
+        table = enc.init(jax.random.PRNGKey(0)) * 1e4  # amplify
+        x = jnp.array([[0.3, 0.4, 0.5]])
+        eps = 1e-5
+        o1 = enc(table, x)
+        o2 = enc(table, x + eps)
+        assert np.allclose(o1, o2, atol=1e-2)
+
+    def test_grad_wrt_table_and_position(self):
+        enc = self._enc()
+        table = enc.init(jax.random.PRNGKey(0))
+        x = jax.random.uniform(jax.random.PRNGKey(1), (16, 3), minval=0.1, maxval=0.9)
+
+        def loss_t(t):
+            return jnp.sum(enc(t, x) ** 2)
+
+        g = jax.grad(loss_t)(table)
+        assert g.shape == table.shape
+        assert np.isfinite(np.array(g)).all()
+
+        def loss_x(xx):
+            return jnp.sum(enc(table, xx))
+
+        gx = jax.grad(loss_x)(x)
+        assert gx.shape == x.shape
+        assert np.isfinite(np.array(gx)).all()
+
+    def test_second_order_grad(self):
+        """grad-of-grad through the encoding (eikonal-loss structure)."""
+        enc = self._enc(smoothstep=True)
+        table = enc.init(jax.random.PRNGKey(0))
+        x = jnp.array([[0.3, 0.45, 0.6]])
+
+        def f(xx):
+            return jnp.sum(enc(table, xx))
+
+        def grad_norm(xx):
+            g = jax.grad(f)(xx)
+            return jnp.sum(g**2)
+
+        gg = jax.grad(grad_norm)(x)  # d/dx |∇f|² — needs 2nd-order AD
+        assert np.isfinite(np.array(gg)).all()
+        # also differentiable wrt table through the gradient
+        def table_loss(t):
+            g = jax.grad(lambda xx: jnp.sum(enc(t, xx)))(x)
+            return jnp.sum((jnp.linalg.norm(g, axis=-1) - 1.0) ** 2)
+
+        gt = jax.grad(table_loss)(table)
+        assert np.isfinite(np.array(gt)).all()
+
+    def test_finite_diff_position_grad(self):
+        enc = self._enc(smoothstep=True)
+        table = enc.init(jax.random.PRNGKey(0)) * 1e4
+        x = jnp.array([[0.33, 0.44, 0.55]])
+
+        def f(xx):
+            return jnp.sum(enc(table, xx))
+
+        g = jax.grad(f)(x)
+        eps = 1e-4
+        for d in range(3):
+            dx = jnp.zeros_like(x).at[0, d].add(eps)
+            fd = (f(x + dx) - f(x - dx)) / (2 * eps)
+            assert np.allclose(g[0, d], fd, rtol=5e-2, atol=1e-3)

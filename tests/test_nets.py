@@ -1,0 +1,124 @@
+"""Tests for net building blocks: MLP/weight-norm, SIREN, FiLM, transformer,
+variance heads."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from neusky_tpu.nets.density import LaplaceDensity, LearnedVariance, neus_alpha
+from neusky_tpu.nets.mlp import MLP, WNDense, softplus_beta
+from neusky_tpu.nets.siren import FiLMSiren, MappingNetwork, Siren
+from neusky_tpu.nets.transformer import TransformerDecoder
+
+
+def test_wndense_matches_plain_at_init():
+    x = jax.random.normal(jax.random.PRNGKey(0), (8, 16))
+    wn = WNDense(32, weight_norm=True)
+    params = wn.init(jax.random.PRNGKey(1), x)
+    plain = WNDense(32, weight_norm=False)
+    p2 = {"params": {k: v for k, v in params["params"].items() if k != "scale"}}
+    out_wn = wn.apply(params, x)
+    out_plain = plain.apply(p2, x)
+    assert np.allclose(out_wn, out_plain, atol=1e-5)
+
+
+def test_mlp_shapes():
+    m = MLP(hidden_features=(64, 64), out_features=3, out_activation=nn.sigmoid)
+    x = jnp.ones((4, 10))
+    params = m.init(jax.random.PRNGKey(0), x)
+    y = m.apply(params, x)
+    assert y.shape == (4, 3)
+    assert (np.array(y) >= 0).all() and (np.array(y) <= 1).all()
+
+
+def test_softplus_beta():
+    x = jnp.array([-1.0, 0.0, 0.001, 1.0])
+    y = softplus_beta(x, 100.0)
+    # above threshold it's identity
+    assert np.allclose(y[3], 1.0)
+    assert np.allclose(y[1], np.log(2.0) / 100.0, atol=1e-6)
+
+
+def test_siren_output_range():
+    s = Siren(hidden_layers=2, hidden_features=32, out_dim=4, outermost_linear=True)
+    x = jax.random.normal(jax.random.PRNGKey(0), (16, 6))
+    params = s.init(jax.random.PRNGKey(1), x)
+    y = s.apply(params, x)
+    assert y.shape == (16, 4)
+    assert np.isfinite(np.array(y)).all()
+
+
+def test_mapping_network():
+    m = MappingNetwork(hidden_layers=3, hidden_features=32, out_dim=2 * 3 * 16)
+    z = jax.random.normal(jax.random.PRNGKey(0), (8, 5))
+    params = m.init(jax.random.PRNGKey(1), z)
+    f, p = m.apply(params, z)
+    assert f.shape == (8, 3 * 16) and p.shape == (8, 3 * 16)
+
+
+def test_film_siren():
+    fs = FiLMSiren(
+        hidden_layers=3, hidden_features=32,
+        mapping_network_layers=2, mapping_network_features=32,
+        out_dim=1,
+    )
+    x = jax.random.normal(jax.random.PRNGKey(0), (16, 7))
+    c = jax.random.normal(jax.random.PRNGKey(1), (16, 5))
+    params = fs.init(jax.random.PRNGKey(2), x, c)
+    y = fs.apply(params, x, c)
+    assert y.shape == (16, 1)
+    # conditioning actually matters
+    y2 = fs.apply(params, x, c + 1.0)
+    assert not np.allclose(y, y2)
+
+
+def test_transformer_decoder():
+    dec = TransformerDecoder(hidden_features=32, num_heads=4, num_layers=2, out_dim=3)
+    x = jax.random.normal(jax.random.PRNGKey(0), (8, 6))
+    cond_single = jax.random.normal(jax.random.PRNGKey(1), (8, 5))
+    params = dec.init(jax.random.PRNGKey(2), x, cond_single)
+    y = dec.apply(params, x, cond_single)
+    assert y.shape == (8, 3)
+    # sequence conditioning (RENI-style latent tokens)
+    cond_seq = jax.random.normal(jax.random.PRNGKey(3), (8, 10, 5))
+    dec2 = TransformerDecoder(hidden_features=32, num_heads=4, num_layers=2, out_dim=3)
+    params2 = dec2.init(jax.random.PRNGKey(4), x, cond_seq)
+    y2 = dec2.apply(params2, x, cond_seq)
+    assert y2.shape == (8, 3)
+
+
+def test_learned_variance():
+    lv = LearnedVariance(init_val=0.1)
+    params = lv.init(jax.random.PRNGKey(0))
+    inv_s = lv.apply(params)
+    assert np.allclose(inv_s, np.exp(0.1 * 10.0), atol=1e-5)
+
+
+def test_laplace_density():
+    ld = LaplaceDensity(init_val=0.1)
+    params = ld.init(jax.random.PRNGKey(0), jnp.zeros((1,)))
+    d0 = ld.apply(params, jnp.array([0.0]))
+    # at sdf=0: alpha * 0.5
+    beta = 0.1 + 1e-4
+    assert np.allclose(d0, 0.5 / beta, atol=1e-3)
+    d_in = ld.apply(params, jnp.array([-1.0]))
+    d_out = ld.apply(params, jnp.array([1.0]))
+    assert d_in > d0 > d_out
+
+
+def test_neus_alpha_surface_crossing():
+    """A ray crossing the zero level set front-on should get alpha ≈ 1 for
+    sharp inv_s, 0 away from the surface."""
+    s = 16
+    z = jnp.linspace(-2.0, 2.0, s)
+    sdf = (1.0 - z)[None, :, None]  # surface at z=1, positive before
+    gradients = jnp.tile(jnp.array([0.0, 0.0, -1.0])[None, None, :], (1, s, 1))
+    directions = jnp.tile(jnp.array([0.0, 0.0, 1.0])[None, None, :], (1, s, 1))
+    deltas = jnp.full((1, s, 1), 4.0 / s)
+    alpha = neus_alpha(sdf, gradients, directions, deltas, inv_s=jnp.array(64.0))
+    a = np.array(alpha[0, :, 0])
+    assert a[:4].max() < 0.2  # far before surface
+    assert a.max() > 0.8  # near surface
+    i = np.argmax(a)
+    assert abs(z[i] - 1.0) < 0.5
