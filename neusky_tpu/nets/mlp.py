@@ -22,8 +22,14 @@ from flax import linen as nn
 
 def softplus_beta(x: jnp.ndarray, beta: float = 100.0) -> jnp.ndarray:
     """torch ``nn.Softplus(beta)`` with its overflow guard: linear above
-    threshold 20/beta (reference uses beta=100, ``sdf_albedo_field.py:163``)."""
-    return jnp.where(x * beta > 20.0, x, jnp.log1p(jnp.exp(beta * x)) / beta)
+    threshold 20/beta (reference uses beta=100, ``sdf_albedo_field.py:163``).
+
+    The untaken exp branch is clamped so its (discarded) gradient cannot
+    produce inf·0 = NaN under ``jnp.where`` autodiff.
+    """
+    big = x * beta > 20.0
+    safe_x = jnp.where(big, 0.0, x)
+    return jnp.where(big, x, jnp.log1p(jnp.exp(beta * safe_x)) / beta)
 
 
 class WNDense(nn.Module):

@@ -14,4 +14,12 @@ path via ``__graft_entry__.dryrun_multichip``.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The ambient environment pins JAX_PLATFORMS=axon (TPU); force CPU for tests.
+os.environ["JAX_PLATFORMS"] = "cpu"
+# The axon sitecustomize registers the TPU PJRT plugin in every python
+# process and *blocks on the TPU tunnel* if another process holds the claim.
+# Tests are CPU-only; drop the trigger var so registration is skipped.
+# (Has effect only for pytest-spawned subprocesses; for the current process
+# sitecustomize already ran at interpreter start — harmless, registration
+# succeeds or is skipped, and JAX_PLATFORMS=cpu keeps compute on CPU.)
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)

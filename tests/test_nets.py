@@ -40,6 +40,14 @@ def test_softplus_beta():
     assert np.allclose(y[1], np.log(2.0) / 100.0, atol=1e-6)
 
 
+def test_softplus_beta_grad_no_nan():
+    """Regression: the overflow branch must not poison gradients
+    (inf · 0 = NaN under jnp.where autodiff)."""
+    g = jax.grad(lambda x: jnp.sum(softplus_beta(x, 100.0)))(jnp.array([3.0, -3.0, 0.0]))
+    assert np.isfinite(np.array(g)).all()
+    assert np.allclose(g[0], 1.0, atol=1e-5)
+
+
 def test_siren_output_range():
     s = Siren(hidden_layers=2, hidden_features=32, out_dim=4, outermost_linear=True)
     x = jax.random.normal(jax.random.PRNGKey(0), (16, 6))
