@@ -1,0 +1,112 @@
+"""Benchmark: rays/sec/chip of the joint NeuSky training step on real TPU.
+
+Counts the FULL joint step — scene ray batch + DDF-fit batch + sky rays —
+matching the reference's step semantics (``neusky_pipeline.py:240-291``,
+SURVEY §6).  Canonical scale: 1024 scene rays, 512(→492 icosphere)
+illumination directions, full-size fields (hash 16×2^19, SDF 2×256,
+DDF FiLM 5×256, RENI latent 100 w/ 6 attention layers), proposal
+(256, 96) → 48 NeuS samples.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline derivation (no published numbers exist — SURVEY §6): the reference
+trains 100,001 joint steps of (1024 scene + 1024 DDF + 256 sky) rays on a
+single 24 GB CUDA GPU; at a representative ~1.2 steps/s that is ≈2,800
+rays/s. ``vs_baseline`` = measured / 2800.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+A100_BASELINE_RAYS_PER_SEC = 2800.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from neusky_tpu.data.datamanager import DataManager, DataManagerConfig
+    from neusky_tpu.data.pixel_sampler import PixelSamplerConfig
+    from neusky_tpu.data.synthetic import SyntheticSceneConfig, generate_synthetic_scene
+    from neusky_tpu.engine.optimizers import (
+        build_optimizer,
+        default_neusky_optimizer_groups,
+    )
+    from neusky_tpu.models.neusky import NeuSkyModel
+    from neusky_tpu.models.pipeline import PipelineConfig
+    from neusky_tpu.configs.neusky_config import neusky_model_config
+    from neusky_tpu.parallel.mesh import make_train_step
+    from neusky_tpu.sampling.ddf_sampler import DDFSamplerConfig
+
+    cfg = neusky_model_config(num_train_data=8, num_eval_data=2)
+    model = NeuSkyModel(cfg)
+    pipe = PipelineConfig(
+        visibility_train_sampler=DDFSamplerConfig(
+            num_samples_on_sphere=8, num_rays_per_sample=128,
+            only_sample_upper_hemisphere=True, concentration=20.0,
+        ),
+        num_sky_rays=256,
+    )
+
+    scene = generate_synthetic_scene(
+        SyntheticSceneConfig(num_cameras=8, width=64, height=64)
+    )
+    dm = DataManager(
+        DataManagerConfig(
+            pixel_sampler=PixelSamplerConfig(images_per_batch=8, rays_per_image=128),
+            num_sky_rays=256,
+        ),
+        scene["cameras"], scene["images"], scene["masks"],
+    )
+
+    params = model.init(jax.random.PRNGKey(0))
+    optimizer = build_optimizer(params, default_neusky_optimizer_groups(100001))
+    opt_state = optimizer.init(params)
+    step_fn = make_train_step(model, pipe, optimizer, mesh=None)
+
+    rng = jax.random.PRNGKey(1)
+    batch = dm.next_train(0)
+
+    # rays per joint step (reference semantics)
+    s = pipe.visibility_train_sampler
+    rays_per_step = (
+        batch["ray_bundle"].origins.shape[0]
+        + s.num_samples_on_sphere * s.num_rays_per_sample
+        + batch["sky_ray_bundle"].origins.shape[0]
+    )
+
+    # warmup / compile
+    params, opt_state, aux = step_fn(
+        params, opt_state, batch, rng, jnp.asarray(0.0)
+    )
+    jax.block_until_ready(aux["total_loss"])
+
+    n_steps = 20
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        batch = dm.next_train(i)
+        rng, k = jax.random.split(rng)
+        params, opt_state, aux = step_fn(
+            params, opt_state, batch, k, jnp.asarray(float(i + 1))
+        )
+    jax.block_until_ready(aux["total_loss"])
+    dt = time.perf_counter() - t0
+
+    rays_per_sec = rays_per_step * n_steps / dt
+    print(
+        json.dumps(
+            {
+                "metric": "joint_train_rays_per_sec_per_chip",
+                "value": round(rays_per_sec, 1),
+                "unit": "rays/s",
+                "vs_baseline": round(rays_per_sec / A100_BASELINE_RAYS_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -14,11 +14,11 @@ def linear_to_sRGB(color: jnp.ndarray, use_quantile: bool = False) -> jnp.ndarra
     if use_quantile:
         q = jnp.quantile(color.reshape(-1), 0.98)
         color = color / q
-    color = jnp.where(
-        color <= 0.0031308,
-        12.92 * color,
-        1.055 * jnp.power(jnp.abs(color), 1.0 / 2.4) - 0.055,
-    )
+    # safe-where: the pow branch has infinite slope at 0, which would leak
+    # NaN through jnp.where autodiff (0·inf) — clamp its (untaken) input
+    small = color <= 0.0031308
+    safe = jnp.where(small, 0.0031308, jnp.abs(color))
+    color = jnp.where(small, 12.92 * color, 1.055 * jnp.power(safe, 1.0 / 2.4) - 0.055)
     return jnp.clip(color, 0.0, 1.0)
 
 

@@ -1,0 +1,97 @@
+"""DataManager: owns datasets + samplers, emits per-step device batches.
+
+Rebuild of ``neusky/data/datamanagers/neusky_datamanager.py:63-333`` for the
+TPU pipeline: train/eval splits, the per-step scene batch (U×R layout), the
+per-step sky-ray bundle, eval-image ray bundles for full renders, and the
+region bundles for eval-latent fitting.  Data lives in host numpy; batches
+are assembled on host and shipped once per step (single H2D per batch).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from neusky_tpu.core.cameras import Cameras
+from neusky_tpu.core.rays import RayBundle
+from neusky_tpu.data.pixel_sampler import PixelSampler, PixelSamplerConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class DataManagerConfig:
+    pixel_sampler: PixelSamplerConfig = PixelSamplerConfig()
+    num_sky_rays: int = 256
+    seed: int = 0
+
+
+class DataManager:
+    """In-memory datamanager over (cameras, images, masks) arrays.
+
+    Constructed from a dataparser output dict (see ``data/dataparsers``) or
+    the synthetic scene generator."""
+
+    def __init__(
+        self,
+        config: DataManagerConfig,
+        train_cameras: Cameras,
+        train_images: np.ndarray,
+        train_masks: np.ndarray,
+        eval_cameras: Optional[Cameras] = None,
+        eval_images: Optional[np.ndarray] = None,
+        eval_masks: Optional[np.ndarray] = None,
+    ):
+        self.config = config
+        self.train_sampler = PixelSampler(
+            config.pixel_sampler, train_cameras, train_images, train_masks,
+            seed=config.seed,
+        )
+        self.eval_sampler = None
+        if eval_cameras is not None:
+            self.eval_sampler = PixelSampler(
+                config.pixel_sampler, eval_cameras, eval_images, eval_masks,
+                seed=config.seed + 1,
+            )
+        self.train_cameras = train_cameras
+        self.eval_cameras = eval_cameras
+        self.train_images = train_images
+        self.eval_images = eval_images
+        self.train_masks = train_masks
+        self.eval_masks = eval_masks
+
+    @property
+    def num_train(self) -> int:
+        return self.train_sampler.num_images
+
+    @property
+    def num_eval(self) -> int:
+        return self.eval_sampler.num_images if self.eval_sampler else 0
+
+    def next_train(self, step: int = 0) -> Dict:
+        """Scene batch + sky-ray bundle (``next_train`` + DDF sky rays)."""
+        batch = self.train_sampler.sample_batch()
+        sky = self.train_sampler.sample_sky_rays(self.config.num_sky_rays)
+        if sky is not None:
+            batch["sky_ray_bundle"] = sky
+        return batch
+
+    def eval_image_bundle(self, image_idx: int) -> Tuple[RayBundle, Dict]:
+        """Full-image ray bundle + GT batch for eval renders."""
+        cams = self.eval_cameras if self.eval_cameras is not None else self.train_cameras
+        imgs = self.eval_images if self.eval_images is not None else self.train_images
+        msks = self.eval_masks if self.eval_masks is not None else self.train_masks
+        rb = cams.generate_rays(image_idx)
+        batch = {
+            "image": jnp.asarray(imgs[image_idx].reshape(-1, 3)),
+            "mask": jnp.asarray(msks[image_idx].reshape(-1, 4)),
+            "image_idx": image_idx,
+        }
+        return rb, batch
+
+    def eval_latent_batch(self, image_idx: int, region: str = "full_image") -> Dict:
+        """Region batch for test-time latent fitting
+        (``get_eval_image_half_bundle``, ``neusky_datamanager.py:290-307``)."""
+        sampler = self.eval_sampler or self.train_sampler
+        return sampler.sample_region_batch(image_idx, region)

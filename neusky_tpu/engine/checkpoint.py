@@ -1,0 +1,91 @@
+"""Checkpointing with surgical sub-tree restore.
+
+The reference does three kinds of surgical checkpoint loads (SURVEY §5):
+RENI++ decoder-only (``neusky_model.py:286-300``), NeuSky minus visibility
+field (``neusky_pipeline.py:174-194``), and DDF standalone with config
+re-hydration (``ddf_pipeline.py:146-190``).  Here checkpoints are orbax
+PyTree saves of ``{params, opt_state, step}``; sub-tree restore is plain
+dict surgery on the explicit top-level param groups.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def _ckpt_dir(base: Path, step: int) -> Path:
+    return base / "checkpoints" / f"step-{step:09d}"
+
+
+def save_checkpoint(base: Path, step: int, params, opt_state) -> Path:
+    base = Path(base)
+    path = _ckpt_dir(base, step)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(
+        path.absolute(),
+        {"params": params, "opt_state": opt_state, "step": step},
+        force=True,
+    )
+    (base / "latest.json").write_text(json.dumps({"step": step}))
+    return path
+
+
+def latest_step(base: Path) -> Optional[int]:
+    f = Path(base) / "latest.json"
+    if not f.exists():
+        return None
+    return json.loads(f.read_text())["step"]
+
+
+def load_checkpoint(
+    base: Path, step: Optional[int], params_template, opt_state_template
+) -> Tuple[Any, Any, int]:
+    """Full restore (resume)."""
+    if step is None:
+        step = latest_step(base)
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint under {base}")
+    ckptr = ocp.PyTreeCheckpointer()
+    target = {
+        "params": params_template,
+        "opt_state": opt_state_template,
+        "step": 0,
+    }
+    restored = ckptr.restore(_ckpt_dir(Path(base), step).absolute(), item=target)
+    return restored["params"], restored["opt_state"], restored["step"]
+
+
+def load_param_subtrees(
+    base: Path,
+    step: Optional[int],
+    params: Dict[str, Any],
+    include: Tuple[str, ...] = (),
+    exclude: Tuple[str, ...] = (),
+) -> Dict[str, Any]:
+    """Surgical restore: merge selected top-level groups from a checkpoint
+    into ``params``.
+
+    - decoder-only: ``include=("illumination_decoder",)``
+      (reference ``_model.field.`` prefix filter, ``neusky_model.py:286-300``);
+    - model-minus-visibility: ``exclude=("ddf_field",)``
+      (``neusky_pipeline.py:185-190``);
+    - DDF standalone: ``include=("ddf_field",)``.
+    """
+    if step is None:
+        step = latest_step(base)
+    ckptr = ocp.PyTreeCheckpointer()
+    restored = ckptr.restore(_ckpt_dir(Path(base), step).absolute())
+    src = restored["params"]
+    out = dict(params)
+    keys = include if include else tuple(k for k in src.keys() if k not in exclude)
+    for k in keys:
+        if k in src:
+            out[k] = jax.tree_util.tree_map(np.asarray, src[k])
+    return out

@@ -1,0 +1,235 @@
+"""Eval: chunked full-image renders, eval-latent fitting, benchmark protocol.
+
+Rebuilds the reference's eval paths:
+  - ``get_outputs_for_camera_ray_bundle`` (``neusky_model.py:1370-1501``):
+    chunked forward over a camera's rays — here one fixed-size jitted chunk
+    function (compiled once), last chunk padded;
+  - ``fit_latent_codes_for_eval`` (``neusky_model.py:1503-1588``): 250 Adam
+    steps on eval latents/scales with the decoder frozen;
+  - ``get_average_eval_image_metrics`` (``neusky_pipeline.py:392-444``):
+    per-image PSNR/SSIM/LPIPS/MSE + rays/sec/fps instrumentation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from neusky_tpu.core.rays import RayBundle
+from neusky_tpu.data.datamanager import DataManager
+from neusky_tpu.engine import metrics as M
+from neusky_tpu.engine.optimizers import build_eval_latent_optimizer
+from neusky_tpu.models.neusky import NeuSkyModel
+from neusky_tpu.parallel.mesh import make_eval_latent_step
+
+
+def make_render_chunk_fn(model: NeuSkyModel, chunk_size: int = 4096):
+    """Jitted fixed-size eval forward for chunked full-image renders."""
+
+    def chunk_fn(params, rng, ray_bundle, image_idx):
+        image_indices = jnp.asarray([image_idx], jnp.int32).reshape(1)
+        ray_image_idx = jnp.zeros(
+            (ray_bundle.origins.shape[0],), jnp.int32
+        )
+        out = model.forward(
+            params, rng, ray_bundle, image_indices, ray_image_idx,
+            step=jnp.asarray(0.0), train=False,
+        )
+        keys = ("rgb", "albedo", "accumulation", "depth", "p2p_dist", "normal")
+        return {k: out[k] for k in keys}
+
+    return jax.jit(chunk_fn), chunk_size
+
+
+def render_camera(
+    model: NeuSkyModel,
+    params,
+    camera_ray_bundle: RayBundle,
+    image_idx: int,
+    rng: jax.Array,
+    chunk_fn=None,
+    chunk_size: int = 4096,
+) -> Dict[str, np.ndarray]:
+    """Chunked full-image render; returns host numpy per-output maps [N, C]."""
+    if chunk_fn is None:
+        chunk_fn, chunk_size = make_render_chunk_fn(model, chunk_size)
+    n = camera_ray_bundle.origins.shape[0]
+    num_chunks = -(-n // chunk_size)
+    pad = num_chunks * chunk_size - n
+    padded = jax.tree_util.tree_map(
+        lambda x: jnp.concatenate(
+            [x, jnp.repeat(x[-1:], pad, axis=0)], axis=0
+        )
+        if pad
+        else x,
+        camera_ray_bundle,
+    )
+    outs = []
+    for i in range(num_chunks):
+        cb = padded.slice(i * chunk_size, chunk_size)
+        rng, k = jax.random.split(rng)
+        outs.append(chunk_fn(params, k, cb, image_idx))
+    merged = {
+        k: np.concatenate([np.asarray(o[k]) for o in outs], axis=0)[:n]
+        for k in outs[0]
+    }
+    return merged
+
+
+def fit_eval_latents(
+    model: NeuSkyModel,
+    params,
+    datamanager: DataManager,
+    rng: jax.Array,
+    image_idx: int = 0,
+    steps: int = 250,
+    lr: float = 1e-1,
+    lr_final: float = 1e-7,
+    sample_region: str = "full_image",
+):
+    """Test-time latent optimisation: resets eval latents to zero / scales
+    to one, then ``steps`` Adam updates on the sky+RGB losses with the
+    decoder frozen (``neusky_model.py:1503-1588``)."""
+    eval_g = dict(params["eval_latents"])
+    eval_g["eval_latents"] = jnp.zeros_like(eval_g["eval_latents"])
+    eval_g["eval_scale"] = jnp.ones_like(eval_g["eval_scale"])
+    params = {**params, "eval_latents": eval_g}
+
+    optimizer = build_eval_latent_optimizer(lr, lr_final, steps)
+    opt_state = optimizer.init(params)
+    step_fn = make_eval_latent_step(model, optimizer)
+
+    losses = []
+    for i in range(steps):
+        batch = datamanager.eval_latent_batch(image_idx, sample_region)
+        rng, k = jax.random.split(rng)
+        params, opt_state, total = step_fn(
+            params, opt_state, batch, k, jnp.asarray(float(i))
+        )
+        losses.append(float(total))
+    return params, losses
+
+
+def eval_image_metrics(
+    model: NeuSkyModel,
+    params,
+    datamanager: DataManager,
+    image_idx: int,
+    rng: jax.Array,
+    chunk_fn=None,
+    chunk_size: int = 4096,
+    mask_to_building: bool = False,
+) -> Dict[str, Any]:
+    """One image's metric dict (+ render maps), with the reference's
+    rays/sec + fps throughput fields."""
+    rb, batch = datamanager.eval_image_bundle(image_idx)
+    cams = datamanager.eval_cameras or datamanager.train_cameras
+    h, w = cams.height, cams.width
+    t0 = time.perf_counter()
+    outputs = render_camera(
+        model, params, rb, image_idx, rng, chunk_fn, chunk_size
+    )
+    dt = time.perf_counter() - t0
+
+    pred = outputs["rgb"].reshape(h, w, 3)
+    gt = np.asarray(batch["image"]).reshape(h, w, 3)
+    mask = np.asarray(batch["mask"]).reshape(h, w, 4)
+    if mask_to_building:
+        pred = pred * mask[..., 0:1]
+        gt = gt * mask[..., 0:1]
+
+    num_rays = h * w
+    return {
+        "psnr": M.psnr(pred, gt),
+        "ssim": M.ssim_image(pred, gt),
+        "lpips": M.lpips_image(pred, gt),
+        "mse": M.mse(pred, gt),
+        "num_rays_per_sec": num_rays / dt,
+        "fps": 1.0 / dt,
+        "outputs": outputs,
+    }
+
+
+def average_eval_metrics(
+    model: NeuSkyModel,
+    params,
+    datamanager: DataManager,
+    rng: jax.Array,
+    num_images: Optional[int] = None,
+    chunk_size: int = 4096,
+    fit_latents_first: bool = True,
+) -> Dict[str, float]:
+    """``get_average_eval_image_metrics`` equivalent."""
+    if fit_latents_first:
+        rng, k = jax.random.split(rng)
+        params, _ = fit_eval_latents(model, params, datamanager, k)
+    chunk_fn, chunk_size = make_render_chunk_fn(model, chunk_size)
+    n = num_images or max(datamanager.num_eval, 1)
+    per_image = []
+    for i in range(n):
+        rng, k = jax.random.split(rng)
+        m = eval_image_metrics(
+            model, params, datamanager, i, k, chunk_fn, chunk_size
+        )
+        m.pop("outputs")
+        per_image.append(m)
+    keys = [k for k in per_image[0] if per_image[0][k] is not None]
+    return {k: float(np.mean([m[k] for m in per_image])) for k in keys}
+
+
+# ---------------------------------------------------------------------------
+# CLI glue
+
+
+def _load_run(args, overrides):
+    import dataclasses as dc
+
+    from neusky_tpu.cli import _apply_overrides, _build_datamanager
+    from neusky_tpu.configs import METHOD_REGISTRY
+    from neusky_tpu.engine.checkpoint import latest_step, load_checkpoint
+    from neusky_tpu.engine.optimizers import build_optimizer, default_neusky_optimizer_groups
+
+    spec = METHOD_REGISTRY[args.method]
+    bundle = _apply_overrides(spec.build(), overrides)
+    model_config = bundle["model_config"]
+    dm = _build_datamanager(args, model_config)
+    model_config = dc.replace(
+        model_config, num_train_data=dm.num_train, num_eval_data=max(dm.num_eval, 1)
+    )
+    model = NeuSkyModel(model_config)
+    params = model.init(jax.random.PRNGKey(0))
+    if args.load_dir:
+        optimizer = build_optimizer(
+            params, bundle.get("optimizer_groups") or default_neusky_optimizer_groups(10)
+        )
+        opt_state = optimizer.init(params)
+        params, _, _ = load_checkpoint(Path(args.load_dir), None, params, opt_state)
+    return model, params, dm
+
+
+def run_eval(args, overrides):
+    model, params, dm = _load_run(args, overrides)
+    metrics = average_eval_metrics(
+        model, params, dm, jax.random.PRNGKey(1),
+        fit_latents_first=dm.num_eval > 0,
+    )
+    print(json.dumps(metrics))
+
+
+def run_render(args, overrides):
+    model, params, dm = _load_run(args, overrides)
+    rb, _ = dm.eval_image_bundle(args.image_idx)
+    out = render_camera(
+        model, params, rb, args.image_idx, jax.random.PRNGKey(2)
+    )
+    cams = dm.eval_cameras or dm.train_cameras
+    img = out["rgb"].reshape(cams.height, cams.width, 3)
+    np.save(args.output, img)
+    print(f"saved render to {args.output} ({img.shape})")

@@ -1,0 +1,157 @@
+"""RENI++ prior training: fit the sky decoder on HDR environment maps.
+
+The reference consumes a *pretrained* RENI++ checkpoint
+(``neusky_model.py:272-300``; ``download_models.py`` fetches it).  In this
+environment no pretrained weights exist, so the framework provides the
+training path for the prior itself: an autodecoder over a corpus of HDR
+equirectangular sky maps — per-image latents Z ∈ R^{D×3} and the shared
+SO(2)-equivariant decoder optimised jointly on the normalised log-HDR
+reconstruction plus a latent prior (the RENI formulation: latents pulled
+toward N(0, I)).
+
+Also provides a torch→jax weight converter skeleton for when a published
+checkpoint IS available on disk.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from neusky_tpu.fields.reni import RENIField, RENIFieldConfig
+from neusky_tpu.sampling.illumination import EquirectangularSampler
+
+
+@dataclasses.dataclass(frozen=True)
+class RENITrainerConfig:
+    field: RENIFieldConfig = RENIFieldConfig(fixed_decoder=False)
+    lr: float = 1e-4
+    latent_lr: float = 1e-2
+    kl_weight: float = 1e-5
+    num_steps: int = 50000
+    pixels_per_step: int = 2048
+    seed: int = 0
+
+
+class RENITrainer:
+    """Autodecoder training over envmaps [B, H, W, 3] (linear HDR)."""
+
+    def __init__(self, config: RENITrainerConfig, envmaps: np.ndarray):
+        self.config = config
+        b, h, w, _ = envmaps.shape
+        self.num_images = b
+        self.field = RENIField(config.field)
+        sampler = EquirectangularSampler(width=w)
+        self.directions = np.asarray(sampler()).reshape(h * w, 3)
+        self.targets = envmaps.reshape(b, h * w, 3)
+
+        rng = jax.random.PRNGKey(config.seed)
+        k_init, self.rng = jax.random.split(rng)
+        decoder_params = self.field.init(
+            k_init,
+            jnp.zeros((2, 3)),
+            jnp.zeros((2, config.field.latent_dim, 3)),
+        )
+        self.params = {
+            "decoder": decoder_params,
+            "latents": jnp.zeros((b, config.field.latent_dim, 3)),
+        }
+        self.optimizer = optax.multi_transform(
+            {
+                "decoder": optax.adam(config.lr),
+                "latents": optax.adam(config.latent_lr),
+            },
+            lambda p: {"decoder": jax.tree_util.tree_map(lambda _: "decoder", p["decoder"]),
+                       "latents": "latents"},
+        )
+        self.opt_state = self.optimizer.init(self.params)
+        self.step = 0
+        self.history = []
+        self._step_fn = self._make_step()
+
+    def _make_step(self):
+        field = self.field
+        cfg = self.config
+        dirs_all = jnp.asarray(self.directions)
+        targets_all = jnp.asarray(self.targets)
+        n_pix = self.directions.shape[0]
+
+        def loss_fn(params, rng):
+            k_img, k_pix = jax.random.split(rng)
+            img = jax.random.randint(k_img, (), 0, self.num_images)
+            pix = jax.random.randint(k_pix, (cfg.pixels_per_step,), 0, n_pix)
+            d = dirs_all[pix]
+            gt = targets_all[img, pix]
+            z = params["latents"][img]
+            out = field.apply(params["decoder"], d, z)
+            pred_norm = out["rgb"]
+            gt_norm = field.normalise(gt)
+            recon = jnp.mean((pred_norm - gt_norm) ** 2)
+            kl = jnp.mean(params["latents"] ** 2)
+            return recon + cfg.kl_weight * kl, {"recon": recon, "kl": kl}
+
+        def step_fn(params, opt_state, rng):
+            (total, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, rng)
+            updates, opt_state = self.optimizer.update(grads, opt_state, params)
+            params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+            aux["total"] = total
+            return params, opt_state, aux
+
+        return jax.jit(step_fn)
+
+    def run(self, num_steps: Optional[int] = None, log_every: int = 500, log_fn=None):
+        target = self.step + (num_steps or self.config.num_steps)
+        while self.step < target:
+            self.rng, k = jax.random.split(self.rng)
+            self.params, self.opt_state, aux = self._step_fn(
+                self.params, self.opt_state, k
+            )
+            self.step += 1
+            if self.step % log_every == 0 or self.step == target:
+                rec = {"step": self.step, **{k2: float(v) for k2, v in aux.items()}}
+                self.history.append(rec)
+                if log_fn:
+                    log_fn(rec)
+        return self.history
+
+    def decode_envmap(self, latent: jnp.ndarray, width: int = 128) -> np.ndarray:
+        """Latent → HDR envmap [H, W, 3] (BASELINE config[0]:
+        'RENI++ decode: pretrained latent → 64×128 HDR envmap')."""
+        sampler = EquirectangularSampler(width=width)
+        d = sampler()
+        out = self.field.apply(self.params["decoder"], d, latent)
+        hdr = self.field.unnormalise(out["rgb"])
+        return np.asarray(hdr).reshape(sampler.height, width, 3)
+
+
+def convert_torch_reni_checkpoint(ckpt_path: str, config: RENIFieldConfig):
+    """Convert a published RENI++ torch checkpoint (``latent_dim_100/
+    nerfstudio_models/step-000050000.ckpt``) to this decoder's param tree.
+
+    The reference filters keys under ``_model.field.`` excluding
+    train/eval mu+logvar (``neusky_model.py:286-300``).  Architecture naming
+    differs between the (unavailable) ns_reni source and this rebuild, so
+    the mapping must be completed against a real checkpoint; this function
+    loads and name-filters the state dict and raises with the key inventory
+    if the mapping is incomplete — intentionally loud, not silent.
+    """
+    import torch
+
+    ckpt = torch.load(ckpt_path, map_location="cpu", weights_only=False)
+    match, ignore = "_model.field.", (
+        "train_logvar", "eval_logvar", "train_mu", "eval_mu",
+    )
+    filtered = {
+        k[len(match):]: v.numpy()
+        for k, v in ckpt["pipeline"].items()
+        if k.startswith(match) and not any(s in k for s in ignore)
+    }
+    raise NotImplementedError(
+        "torch→jax RENI++ weight mapping requires the ns_reni layer naming; "
+        f"checkpoint provides {len(filtered)} tensors: {sorted(filtered)[:10]}..."
+    )

@@ -78,13 +78,18 @@ def so2_invariant_features(
     directions: [M, 3]; latents: [M, D, 3].
     Returns (dir_feats [M, 2], latent_tokens [M, D, 4]).
     """
+    # eps inside sqrt: latents initialise to exactly zero
+    # (``neusky_model.py:261-263``) and the norm's gradient at 0 is NaN
+    def safe_norm(x):
+        return jnp.sqrt(jnp.sum(x * x, axis=-1, keepdims=True) + 1e-12)
+
     d_xy = directions[..., :2]  # [M, 2]
     d_z = directions[..., 2:3]
-    d_xy_norm = jnp.linalg.norm(d_xy, axis=-1, keepdims=True)
+    d_xy_norm = safe_norm(d_xy)
 
     z_xy = latents[..., :2]  # [M, D, 2]
     z_z = latents[..., 2:3]  # [M, D, 1]
-    z_xy_norm = jnp.linalg.norm(z_xy, axis=-1, keepdims=True)
+    z_xy_norm = safe_norm(z_xy)
 
     dot = jnp.sum(z_xy * d_xy[:, None, :], axis=-1, keepdims=True)  # [M, D, 1]
     cross = (
@@ -142,6 +147,9 @@ class RENIField(nn.Module):
         (inverse of the min-max log normalisation RENI++ trains under;
         consumed at ``neusky_model.py:504-506``)."""
         c = self.config
+        # clamp to the trained domain: un-warmed decoder outputs can exceed
+        # [-1, 1] and would overflow exp
+        rgb = jnp.clip(rgb, -1.0, 1.0)
         log_val = (rgb + 1.0) / 2.0 * (c.log_domain_max - c.log_domain_min) + c.log_domain_min
         return jnp.exp(log_val)
 

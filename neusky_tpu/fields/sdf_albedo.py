@@ -203,8 +203,9 @@ class SDFAlbedoField(nn.Module):
         else:
             albedo, shininess = colours, None
 
-        normals = gradients / jnp.maximum(
-            jnp.linalg.norm(gradients, axis=-1, keepdims=True), 1e-12
+        # eps inside sqrt: finite gradient even at ∥∇∥ = 0
+        normals = gradients / jnp.sqrt(
+            jnp.sum(gradients**2, axis=-1, keepdims=True) + 1e-12
         )
 
         out = {

@@ -1,0 +1,151 @@
+"""Joint training pipeline: scene loss + DDF-fit loss in one jitted graph.
+
+Rebuild of ``neusky/pipelines/neusky_pipeline.py:240-291``
+(``get_train_loss_dict``): per step,
+  1. the scene batch drives the NeuSky forward + 13 losses;
+  2. a fresh vMF sphere-ray batch is rendered against the SDF
+     (``generate_ddf_samples``, ``neusky_pipeline.py:493-515``) and the DDF
+     is fit to it (depth/sdf/multi-view/sky-ray losses);
+  3. everything sums into one scalar — a single backward pass covers the
+     full SDF↔DDF↔RENI coupling (the reference needs two module calls and
+     DDP ``find_unused_parameters``; under jit it is one graph).
+
+Pure functions of (params, rng, batch, step) — ready for ``jax.jit`` /
+``shard_map`` over a device mesh (see ``parallel/``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from neusky_tpu.core.rays import RayBundle
+from neusky_tpu.models.ddf_model import ddf_loss_dict, ddf_train_outputs
+from neusky_tpu.models.neusky import NeuSkyModel
+from neusky_tpu.sampling.ddf_sampler import DDFSamplerConfig, vmf_ddf_samples
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    """``NeuSkyPipelineConfig`` equivalents (``neusky_pipeline.py:61-96``)."""
+
+    stop_sdf_gradients: bool = False
+    visibility_accumulation_mask_threshold: float = 0.0
+    visibility_train_sampler: DDFSamplerConfig = DDFSamplerConfig(
+        num_samples_on_sphere=8, num_rays_per_sample=128,
+        only_sample_upper_hemisphere=True, concentration=20.0,
+    )
+    num_sky_rays: int = 256
+
+
+def train_loss_fn(
+    model: NeuSkyModel,
+    pipeline_config: PipelineConfig,
+    params,
+    rng: jax.Array,
+    batch: Dict[str, Any],
+    step: jnp.ndarray,
+) -> Tuple[jnp.ndarray, Dict[str, Any]]:
+    """One training step's scalar loss + aux (loss dict, metrics).
+
+    ``batch``:
+      - ``ray_bundle``: RayBundle [N]
+      - ``image`` [N,3], ``mask`` [N,4]
+      - ``image_indices`` [U], ``ray_image_idx`` [N]
+      - ``sky_ray_bundle``: RayBundle [K] (optional; for the DDF sky loss)
+    """
+    k_scene, k_vis_sample, k_vis_gt, k_ddf = jax.random.split(rng, 4)
+
+    outputs = model.forward(
+        params,
+        k_scene,
+        batch["ray_bundle"],
+        batch["image_indices"],
+        batch["ray_image_idx"],
+        step=step,
+        train=True,
+    )
+    loss_dict = model.loss_dict(params, outputs, batch, train=True)
+    metrics = model.metrics_dict(params, outputs, batch)
+
+    if model.config.fit_visibility_field and model.ddf is not None:
+        vis_bundle = vmf_ddf_samples(
+            k_vis_sample,
+            pipeline_config.visibility_train_sampler,
+            ddf_sphere_radius=model.config.ddf_radius,
+        )
+        gt = model.generate_ddf_ground_truth(
+            params, k_vis_gt, vis_bundle,
+            mask_threshold=pipeline_config.visibility_accumulation_mask_threshold,
+            stop_gradients=pipeline_config.stop_sdf_gradients,
+        )
+        ddf_batch = dict(gt)
+        if "sky_ray_bundle" in batch:
+            ddf_batch["sky_ray_bundle"] = batch["sky_ray_bundle"]
+
+        field_params = params["fields"]
+
+        def sdf_at_pos(p):
+            return model.field.apply(field_params, p, method=model.field.sdf_only)
+
+        ddf_outputs = ddf_train_outputs(
+            model.ddf,
+            params["ddf_field"],
+            k_ddf,
+            vis_bundle,
+            ddf_batch,
+            sdf_at_pos_fn=sdf_at_pos,
+            stop_sdf_gradients=pipeline_config.stop_sdf_gradients,
+        )
+        vis_losses = ddf_loss_dict(
+            model.config.ddf, ddf_outputs, ddf_batch, model.config.ddf_radius
+        )
+        loss_dict = {**loss_dict, **vis_losses}
+        # DDF depth PSNR metric (``ddf_model.py:381-405``)
+        m = ddf_batch["mask"].reshape(-1, 1)
+        pred_d = ddf_outputs["expected_termination_dist"].reshape(-1, 1) * m
+        gt_d = ddf_batch["termination_dist"].reshape(-1, 1) * m
+        mse = jnp.mean((pred_d - gt_d) ** 2)
+        metrics["ddf_depth_psnr"] = -10.0 * jnp.log10(
+            jnp.maximum(mse / (model.config.ddf_radius**2), 1e-10)
+        )
+
+    total = jnp.asarray(0.0)
+    for v in loss_dict.values():
+        total = total + v
+    return total, {"loss_dict": loss_dict, "metrics": metrics}
+
+
+def eval_latent_loss_fn(
+    model: NeuSkyModel,
+    params,
+    rng: jax.Array,
+    batch: Dict[str, Any],
+    step: jnp.ndarray,
+    rotation=None,
+) -> jnp.ndarray:
+    """Loss for test-time latent fitting (the eval branch of
+    ``get_loss_dict``, ``neusky_model.py:1036-1059``): RGB + sky-pixel only,
+    decoder frozen, gradients reach ``eval_latents`` only (the optimizer
+    masks everything else)."""
+    outputs = model.forward(
+        params,
+        rng,
+        batch["ray_bundle"],
+        batch["image_indices"],
+        batch["ray_image_idx"],
+        step=step,
+        train=False,
+        fitting_eval_latents=True,
+        rotation=rotation,
+    )
+    loss_dict = model.loss_dict(
+        params, outputs, batch, train=False, fitting_eval_latents=True
+    )
+    total = jnp.asarray(0.0)
+    for v in loss_dict.values():
+        total = total + v
+    return total

@@ -1,0 +1,7 @@
+from neusky_tpu.parallel.mesh import (
+    make_mesh,
+    shard_batch,
+    replicate,
+    make_train_step,
+    make_eval_latent_step,
+)

@@ -99,7 +99,8 @@ def blinn_phong_composite(
         )
 
     diffuse = albedos[:, :, None, :] * dot_nl[..., None]  # [N,S,D,3]
-    specular = jnp.power(jnp.maximum(dot_nh, 1e-6), shininess[..., None])[..., None]
+    # shininess [N,S,1] broadcasts over the direction axis of dot_nh [N,S,D]
+    specular = jnp.power(jnp.maximum(dot_nh, 1e-6), shininess)[..., None]  # [N,S,D,1]
     radiance = jnp.sum(lit * (diffuse + specular), axis=2)  # [N,S,3]
 
     comp_rgb = jnp.sum(weights * radiance, axis=-2)

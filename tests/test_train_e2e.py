@@ -1,0 +1,171 @@
+"""End-to-end training tests on the synthetic sphere scene.
+
+Mirrors BASELINE configs: first the minimal NeuS slice, then the full
+joint NeuSky step (SDF + RENI++ illumination + DDF visibility + DDF fit)
+— asserting the loss goes down and training metrics improve.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from neusky_tpu.data.datamanager import DataManager, DataManagerConfig
+from neusky_tpu.data.pixel_sampler import PixelSamplerConfig
+from neusky_tpu.data.synthetic import SyntheticSceneConfig, generate_synthetic_scene
+from neusky_tpu.engine.optimizers import (
+    OptimizerGroupConfig,
+    default_neusky_optimizer_groups,
+)
+from neusky_tpu.engine.trainer import Trainer, TrainerConfig
+from neusky_tpu.fields.ddf import DDFFieldConfig
+from neusky_tpu.fields.density_field import DensityFieldConfig
+from neusky_tpu.fields.reni import RENIFieldConfig
+from neusky_tpu.fields.sdf_albedo import SDFAlbedoFieldConfig
+from neusky_tpu.models.ddf_model import DDFLossConfig, DDFModelConfig
+from neusky_tpu.models.neusky import LossInclusions, NeuSkyModel, NeuSkyModelConfig
+from neusky_tpu.models.pipeline import PipelineConfig
+from neusky_tpu.ops.hashgrid import HashGridConfig
+from neusky_tpu.sampling.ddf_sampler import DDFSamplerConfig
+from neusky_tpu.sampling.proposal import ProposalSamplerConfig
+
+TINY_HASH = HashGridConfig(
+    num_levels=4, features_per_level=2, log2_hashmap_size=13, base_res=4, max_res=64,
+)
+TINY_PROP_HASH = HashGridConfig(
+    num_levels=3, features_per_level=2, log2_hashmap_size=11, base_res=4, max_res=32,
+)
+
+
+def tiny_model_config(use_visibility: bool, fit_visibility: bool) -> NeuSkyModelConfig:
+    return NeuSkyModelConfig(
+        sdf_field=SDFAlbedoFieldConfig(
+            num_layers=2, hidden_dim=64, geo_feat_dim=32,
+            num_layers_color=2, hidden_dim_color=64,
+            bias=0.3, hash=TINY_HASH,
+        ),
+        proposal=ProposalSamplerConfig(num_proposal_samples=(32, 16), num_final_samples=12),
+        proposal_fields=(
+            DensityFieldConfig(hidden_dim=16, num_layers=2, hash=TINY_PROP_HASH),
+            DensityFieldConfig(hidden_dim=16, num_layers=2, hash=TINY_PROP_HASH),
+        ),
+        illumination=RENIFieldConfig(
+            latent_dim=8, hidden_features=32, num_attention_heads=4,
+            num_attention_layers=2, fixed_decoder=False,
+        ),
+        ddf=DDFModelConfig(
+            field=DDFFieldConfig(
+                conditioning="FiLM", position_encoding_type="nerf",
+                direction_encoding_type="nerf", hidden_layers=2,
+                hidden_features=32, mapping_layers=2, mapping_features=32,
+            ),
+            losses=DDFLossConfig(
+                depth_l1=True, sdf_l2=True, multi_view=True, sky_ray=True,
+            ),
+        ) if use_visibility or fit_visibility else None,
+        num_illumination_directions=12,
+        use_visibility=use_visibility,
+        fit_visibility_field=fit_visibility,
+        num_train_data=6,
+        num_eval_data=2,
+        collider_shape="sphere",
+        collider_radius=1.0,
+        ddf_radius=1.0,
+        losses=LossInclusions(
+            hashgrid_density_grid_resolution=6,
+            sdf_level_set_visibility=use_visibility,
+        ),
+        visibility_query_chunk=2048,
+    )
+
+
+def make_scene_dm(num_cams=6, size=24):
+    scene = generate_synthetic_scene(
+        SyntheticSceneConfig(num_cameras=num_cams, width=size, height=size)
+    )
+    dm = DataManager(
+        DataManagerConfig(
+            pixel_sampler=PixelSamplerConfig(images_per_batch=4, rays_per_image=32),
+            num_sky_rays=32,
+        ),
+        scene["cameras"],
+        scene["images"],
+        scene["masks"],
+    )
+    return scene, dm
+
+
+@pytest.fixture(scope="module")
+def sphere_scene():
+    return make_scene_dm()
+
+
+def _tiny_trainer(cfg, dm, steps=60):
+    model = NeuSkyModel(cfg)
+    pipe = PipelineConfig(
+        visibility_train_sampler=DDFSamplerConfig(
+            num_samples_on_sphere=2, num_rays_per_sample=16,
+            only_sample_upper_hemisphere=True, concentration=20.0,
+        ),
+        num_sky_rays=32,
+    )
+    groups = default_neusky_optimizer_groups(max_steps=max(steps, 10))
+    # shorter warmups for tiny runs
+    groups = {
+        k: OptimizerGroupConfig(
+            lr=g.lr, schedule="constant", max_steps=steps,
+        )
+        for k, g in groups.items()
+    }
+    trainer = Trainer(
+        TrainerConfig(
+            max_num_iterations=steps, steps_per_save=10**9,
+            steps_per_log=10, output_dir="/tmp/neusky_test_run",
+        ),
+        model, pipe, dm, optimizer_groups=groups,
+    )
+    return trainer
+
+
+def test_neus_slice_trains(sphere_scene):
+    """Minimal slice (no visibility): loss and PSNR improve on the sphere."""
+    _, dm = sphere_scene
+    cfg = tiny_model_config(use_visibility=False, fit_visibility=False)
+    trainer = _tiny_trainer(cfg, dm, steps=60)
+    history = trainer.run()
+    first, last = history[0], history[-1]
+    assert np.isfinite(last["total_loss"])
+    assert last["total_loss"] < first["total_loss"], (first, last)
+    assert last["psnr"] > first["psnr"], (first["psnr"], last["psnr"])
+
+
+def test_full_joint_step_runs(sphere_scene):
+    """Full NeuSky joint step (visibility + DDF fit) runs and stays finite."""
+    _, dm = sphere_scene
+    cfg = tiny_model_config(use_visibility=True, fit_visibility=True)
+    trainer = _tiny_trainer(cfg, dm, steps=12)
+    history = trainer.run()
+    last = history[-1]
+    assert np.isfinite(last["total_loss"])
+    # DDF losses present in the joint step
+    assert "depth_l1_loss" in last
+    assert "sky_ray_loss" in last
+    assert "ddf_depth_psnr" in last
+    # visibility-coupled loss present
+    assert "sdf_level_set_visibility_loss" in last
+
+
+def test_checkpoint_roundtrip(sphere_scene, tmp_path):
+    _, dm = sphere_scene
+    cfg = tiny_model_config(use_visibility=False, fit_visibility=False)
+    trainer = _tiny_trainer(cfg, dm, steps=3)
+    trainer.run()
+    trainer.save(str(tmp_path))
+
+    trainer2 = _tiny_trainer(cfg, dm, steps=3)
+    trainer2.load(str(tmp_path))
+    assert trainer2.step == 3
+    a = jax.tree_util.tree_leaves(trainer.params)
+    b = jax.tree_util.tree_leaves(trainer2.params)
+    for x, y in zip(a, b):
+        assert np.allclose(np.array(x), np.array(y))
