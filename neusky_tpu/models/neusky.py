@@ -167,6 +167,41 @@ class NeuSkyModel:
             apply_random_rotation=config.illumination_sampler_random_rotation,
         )
         self.num_directions = self.illumination_sampler.actual_num_directions
+        # optional mesh for sharding constraints (set via set_mesh); when the
+        # mesh has a "dirs" axis the visibility N·D tensors shard across it
+        # (SP-style split of the light-direction axis, SURVEY §2.5)
+        self.mesh = None
+
+    def set_mesh(self, mesh) -> "NeuSkyModel":
+        self.mesh = mesh
+        return self
+
+    def _constrain(self, x, spec_axes):
+        """Apply a NamedSharding constraint if a mesh with those axes is set.
+
+        An entry may be a name, None, or a tuple of names (product axis)."""
+        if self.mesh is None:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        def ok(a):
+            if a is None:
+                return None
+            if isinstance(a, tuple):
+                kept = tuple(n for n in a if n in self.mesh.axis_names)
+                return kept if kept else None
+            return a if a in self.mesh.axis_names else None
+
+        axes = tuple(ok(a) for a in spec_axes)
+        if all(a is None for a in axes):
+            return x
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(self.mesh, PartitionSpec(*axes))
+        )
+
+    @property
+    def _dirs_sharded(self) -> bool:
+        return self.mesh is not None and "dirs" in self.mesh.axis_names
 
     # ------------------------------------------------------------------
     # init
@@ -332,30 +367,34 @@ class NeuSkyModel:
         boundary = ray_sphere_intersection(origins, ray_dirs, r) - 0.01 * r * ray_dirs
         positions = jnp.where(inside, positions, boundary)
 
+        flat_spec = ((("data", "dirs"),) , )  # product sharding of the N·D axis
         pos_nd = jnp.repeat(positions, d, axis=0)  # [N*D, 3]
         dir_nd = jnp.tile(dirs, (n, 1))  # [N*D, 3]
+        pos_nd = self._constrain(pos_nd, (("data", "dirs"), None))
+        dir_nd = self._constrain(dir_nd, (("data", "dirs"), None))
         sphere_pts = ray_sphere_intersection(pos_nd, dir_nd, r)  # [N*D, 3]
         dist_to_origins = jnp.linalg.norm(sphere_pts - pos_nd, axis=-1)
         dist_to_origins = jnp.clip(dist_to_origins, None, 2.0 * r)
 
         ddf_params = params["ddf_field"]
-        if stop_sdf_gradients:
-            # the DDF itself may depend on SDF-coupled training, but here
-            # stop-gradients refer to sdf-through-visibility; DDF params
-            # always receive gradient unless fit_visibility_field is off
-            pass
 
         def ddf_query(o, dd):
             return self.ddf.apply(ddf_params, o, dd)
 
-        out = _chunked_apply(
-            ddf_query, (sphere_pts, -dir_nd), self.config.visibility_query_chunk
-        )
+        if self._dirs_sharded:
+            # SP-style: the N·D axis is sharded across the mesh product —
+            # per-device memory is bounded by the sharding, no chunking
+            out = ddf_query(sphere_pts, -dir_nd)
+        else:
+            out = _chunked_apply(
+                ddf_query, (sphere_pts, -dir_nd), self.config.visibility_query_chunk
+            )
         expected = out["expected_termination_dist"]  # [N*D]
 
         difference = dist_to_origins - expected
         occlusion = jax.nn.sigmoid(sigmoid_scale * (difference - threshold_distance))
         visibility = (1.0 - occlusion).reshape(n, d)
+        visibility = self._constrain(visibility, ("data", "dirs"))
 
         if dmask is not None:
             fill = 1.0 if c.lower_hemisphere_visibility else 0.0
@@ -376,9 +415,12 @@ class NeuSkyModel:
             def sdf_query(p):
                 return self.field.apply(field_params, p, method=self.field.sdf_only)
 
-            sdf_at_term = _chunked_apply(
-                sdf_query, (term_points,), self.config.visibility_query_chunk
-            )
+            if self._dirs_sharded:
+                sdf_at_term = sdf_query(term_points)
+            else:
+                sdf_at_term = _chunked_apply(
+                    sdf_query, (term_points,), self.config.visibility_query_chunk
+                )
             result["sdf_at_termination"] = sdf_at_term
         return result
 

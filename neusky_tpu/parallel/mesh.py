@@ -49,7 +49,9 @@ def _batch_spec(batch: Dict[str, Any], mesh: Mesh, axis_name: str = "data"):
 
     The ray axis is identified as any leading axis divisible by the mesh
     size on leaves belonging to the per-ray groups."""
-    n_dev = mesh.devices.size
+    n_dev = dict(zip(mesh.axis_names, mesh.devices.shape)).get(
+        axis_name, mesh.devices.size
+    )
 
     def spec_for(path, leaf):
         key = "/".join(str(p) for p in path)
