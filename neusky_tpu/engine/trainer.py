@@ -75,7 +75,12 @@ class Trainer:
         )
         self.step = 0
         self.history: list = []
-        self._rays_per_step = None
+        self.writer = None  # set via attach_writer
+        self._eval_chunk_fn = None
+
+    def attach_writer(self, writer):
+        self.writer = writer
+        return self
 
     # ------------------------------------------------------------------
 
@@ -116,10 +121,57 @@ class Trainer:
                 self.history.append(record)
                 if log_fn:
                     log_fn(record)
+                if self.writer is not None:
+                    self.writer.write_scalars(self.step, record)
+
+            if (
+                self.step % self.config.steps_per_eval_image == 0
+                and self.datamanager.num_eval > 0
+            ):
+                self._eval_image_pass()
 
             if self.step % self.config.steps_per_save == 0:
                 self.save()
         return self.history
+
+    def _eval_image_pass(self):
+        """Render + score one eval image (``steps_per_eval_image`` cadence,
+        with test-time latent fitting — ``neusky_pipeline.py:315-390``)."""
+        from neusky_tpu.engine.eval_loop import (
+            eval_image_metrics,
+            fit_eval_latents,
+            make_render_chunk_fn,
+        )
+
+        self.rng, k_fit, k_render = jax.random.split(self.rng, 3)
+        image_idx = (self.step // self.config.steps_per_eval_image - 1) % max(
+            self.datamanager.num_eval, 1
+        )
+        params, _ = fit_eval_latents(
+            self.model, self.params, self.datamanager, k_fit, image_idx
+        )
+        if self._eval_chunk_fn is None:
+            self._eval_chunk_fn = make_render_chunk_fn(self.model)
+        chunk_fn, chunk = self._eval_chunk_fn
+        m = eval_image_metrics(
+            self.model, params, self.datamanager, image_idx, k_render,
+            chunk_fn, chunk,
+        )
+        outputs = m.pop("outputs")
+        record = {f"eval_{k}": v for k, v in m.items() if v is not None}
+        self.history.append({"step": self.step, **record})
+        if self.writer is not None:
+            self.writer.write_scalars(self.step, record)
+            cams = self.datamanager.eval_cameras or self.datamanager.train_cameras
+            from neusky_tpu.engine.eval_panels import image_metrics_and_panels
+
+            _, batch = self.datamanager.eval_image_bundle(image_idx)
+            _, panels = image_metrics_and_panels(
+                self.model, params, outputs, batch, cams.height, cams.width,
+                latent_slot=image_idx,
+            )
+            for name, img in panels.items():
+                self.writer.write_image(self.step, name, img)
 
     # ------------------------------------------------------------------
 

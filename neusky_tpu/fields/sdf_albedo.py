@@ -55,6 +55,7 @@ class SDFAlbedoFieldConfig:
     contraction_order: str = "l2"
     position_encoding_freqs: int = 6  # NeRF PE, no input passthrough
     use_position_encoding: bool = True
+    gradient_mode: str = "reverse"  # reverse (jax.grad) | forward (3×JVP)
 
 
 class SDFAlbedoField(nn.Module):
@@ -231,11 +232,29 @@ class SDFAlbedoField(nn.Module):
     def geo_with_grad(self, positions: jnp.ndarray):
         """(sdf, geo_feat, d sdf/d position) in one combined pass.
 
-        The spatial gradient is ``jax.grad`` of the summed SDF — one extra
-        reverse pass (each SDF value depends only on its own position).  The
-        geometry net is rematerialised (``jax.checkpoint``) inside that pass
-        to keep activation memory flat on TPU.
+        ``gradient_mode="reverse"``: one extra ``jax.grad`` reverse pass of
+        the summed SDF (each value depends only on its own position), with
+        the geometry net rematerialised so the eikonal double-backward does
+        not blow activation memory.
+
+        ``gradient_mode="forward"``: three JVPs along the coordinate basis.
+        Costs ~3 extra forward passes but the *backward* of the eikonal loss
+        is then reverse-over-forward — a much smaller transpose graph for
+        XLA, which matters for whole-model compile size on TPU.
         """
+        if self.config.gradient_mode == "forward":
+            sdf, geo_feat = self.geo(positions)
+
+            def sdf_fn(p):
+                return self.geo(p)[0]
+
+            cols = []
+            for axis in range(3):
+                tangent = jnp.zeros_like(positions).at[:, axis].set(1.0)
+                _, dsdf = jax.jvp(sdf_fn, (positions,), (tangent,))
+                cols.append(dsdf[..., 0])
+            gradients = jnp.stack(cols, axis=-1)
+            return sdf, geo_feat, gradients
 
         def sdf_sum(p):
             return jnp.sum(self.geo(p)[0])

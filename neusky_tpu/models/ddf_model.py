@@ -118,6 +118,27 @@ def scene_center_distance_weight(
     return 1.0 - d**config.scene_center_weight_exp
 
 
+def ddf_predicted_normals(
+    model: DDFModel, params, origins: jnp.ndarray, directions_world: jnp.ndarray
+) -> jnp.ndarray:
+    """Surface normals from ∂(termination distance)/∂origin
+    (``ddf_model.py:256-277``): normalise the gradient and orient it
+    against the ray direction.  The reference flags its own version as
+    broken (``configs/neusky_config.py:199``); this one differentiates the
+    *localised* query properly via ``jax.grad``."""
+
+    def dist_sum(o):
+        out = model.apply(params, o, directions_world)
+        return jnp.sum(out["expected_termination_dist"])
+
+    grads = jax.grad(dist_sum)(origins)
+    n_hat = grads / jnp.sqrt(jnp.sum(grads**2, axis=-1, keepdims=True) + 1e-12)
+    sign = jnp.sign(
+        -jnp.sum(n_hat * directions_world, axis=-1, keepdims=True)
+    )
+    return sign * n_hat
+
+
 def ddf_train_outputs(
     model: DDFModel,
     params,

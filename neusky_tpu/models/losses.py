@@ -106,12 +106,18 @@ def _outer_measure(
     cy1 = jnp.concatenate(
         [jnp.zeros_like(y1[..., :1]), jnp.cumsum(y1, axis=-1)], axis=-1
     )
+    # vectorised searchsorted via comparison-count (see sampling/proposal.py)
     idx_lo = (
-        jax.vmap(lambda a, v: jnp.searchsorted(a, v, side="right"))(t1_starts, t0_starts)
+        jnp.sum(
+            (t1_starts[..., None, :] <= t0_starts[..., :, None]).astype(jnp.int32),
+            axis=-1,
+        )
         - 1
     )
     idx_lo = jnp.clip(idx_lo, 0, y1.shape[-1] - 1)
-    idx_hi = jax.vmap(lambda a, v: jnp.searchsorted(a, v, side="left"))(t1_ends, t0_ends)
+    idx_hi = jnp.sum(
+        (t1_ends[..., None, :] < t0_ends[..., :, None]).astype(jnp.int32), axis=-1
+    )
     idx_hi = jnp.clip(idx_hi, 0, y1.shape[-1] - 1)
     cy1_lo = jnp.take_along_axis(cy1, idx_lo, axis=-1)
     cy1_hi = jnp.take_along_axis(cy1, idx_hi + 1, axis=-1)

@@ -41,27 +41,17 @@ class PipelineConfig:
     num_sky_rays: int = 256
 
 
-def train_loss_fn(
+def scene_loss_fn(
     model: NeuSkyModel,
-    pipeline_config: PipelineConfig,
     params,
     rng: jax.Array,
     batch: Dict[str, Any],
     step: jnp.ndarray,
 ) -> Tuple[jnp.ndarray, Dict[str, Any]]:
-    """One training step's scalar loss + aux (loss dict, metrics).
-
-    ``batch``:
-      - ``ray_bundle``: RayBundle [N]
-      - ``image`` [N,3], ``mask`` [N,4]
-      - ``image_indices`` [U], ``ray_image_idx`` [N]
-      - ``sky_ray_bundle``: RayBundle [K] (optional; for the DDF sky loss)
-    """
-    k_scene, k_vis_sample, k_vis_gt, k_ddf = jax.random.split(rng, 4)
-
+    """Scene half of the joint step: NeuSky forward + scene losses."""
     outputs = model.forward(
         params,
-        k_scene,
+        rng,
         batch["ray_bundle"],
         batch["image_indices"],
         batch["ray_image_idx"],
@@ -70,53 +60,100 @@ def train_loss_fn(
     )
     loss_dict = model.loss_dict(params, outputs, batch, train=True)
     metrics = model.metrics_dict(params, outputs, batch)
-
-    if model.config.fit_visibility_field and model.ddf is not None:
-        vis_bundle = vmf_ddf_samples(
-            k_vis_sample,
-            pipeline_config.visibility_train_sampler,
-            ddf_sphere_radius=model.config.ddf_radius,
-        )
-        gt = model.generate_ddf_ground_truth(
-            params, k_vis_gt, vis_bundle,
-            mask_threshold=pipeline_config.visibility_accumulation_mask_threshold,
-            stop_gradients=pipeline_config.stop_sdf_gradients,
-        )
-        ddf_batch = dict(gt)
-        if "sky_ray_bundle" in batch:
-            ddf_batch["sky_ray_bundle"] = batch["sky_ray_bundle"]
-
-        field_params = params["fields"]
-
-        def sdf_at_pos(p):
-            return model.field.apply(field_params, p, method=model.field.sdf_only)
-
-        ddf_outputs = ddf_train_outputs(
-            model.ddf,
-            params["ddf_field"],
-            k_ddf,
-            vis_bundle,
-            ddf_batch,
-            sdf_at_pos_fn=sdf_at_pos,
-            stop_sdf_gradients=pipeline_config.stop_sdf_gradients,
-        )
-        vis_losses = ddf_loss_dict(
-            model.config.ddf, ddf_outputs, ddf_batch, model.config.ddf_radius
-        )
-        loss_dict = {**loss_dict, **vis_losses}
-        # DDF depth PSNR metric (``ddf_model.py:381-405``)
-        m = ddf_batch["mask"].reshape(-1, 1)
-        pred_d = ddf_outputs["expected_termination_dist"].reshape(-1, 1) * m
-        gt_d = ddf_batch["termination_dist"].reshape(-1, 1) * m
-        mse = jnp.mean((pred_d - gt_d) ** 2)
-        metrics["ddf_depth_psnr"] = -10.0 * jnp.log10(
-            jnp.maximum(mse / (model.config.ddf_radius**2), 1e-10)
-        )
-
     total = jnp.asarray(0.0)
     for v in loss_dict.values():
         total = total + v
     return total, {"loss_dict": loss_dict, "metrics": metrics}
+
+
+def ddf_fit_loss_fn(
+    model: NeuSkyModel,
+    pipeline_config: PipelineConfig,
+    params,
+    rng: jax.Array,
+    batch: Dict[str, Any],
+    step: jnp.ndarray,
+) -> Tuple[jnp.ndarray, Dict[str, Any]]:
+    """DDF-fit half: vMF sphere rays rendered against the SDF as GT
+    (``generate_ddf_samples``, ``neusky_pipeline.py:493-515``) + DDF losses."""
+    k_vis_sample, k_vis_gt, k_ddf = jax.random.split(rng, 3)
+    vis_bundle = vmf_ddf_samples(
+        k_vis_sample,
+        pipeline_config.visibility_train_sampler,
+        ddf_sphere_radius=model.config.ddf_radius,
+    )
+    gt = model.generate_ddf_ground_truth(
+        params, k_vis_gt, vis_bundle,
+        mask_threshold=pipeline_config.visibility_accumulation_mask_threshold,
+        stop_gradients=pipeline_config.stop_sdf_gradients,
+    )
+    ddf_batch = dict(gt)
+    if "sky_ray_bundle" in batch:
+        ddf_batch["sky_ray_bundle"] = batch["sky_ray_bundle"]
+
+    field_params = params["fields"]
+
+    def sdf_at_pos(p):
+        return model.field.apply(field_params, p, method=model.field.sdf_only)
+
+    ddf_outputs = ddf_train_outputs(
+        model.ddf,
+        params["ddf_field"],
+        k_ddf,
+        vis_bundle,
+        ddf_batch,
+        sdf_at_pos_fn=sdf_at_pos,
+        stop_sdf_gradients=pipeline_config.stop_sdf_gradients,
+    )
+    vis_losses = ddf_loss_dict(
+        model.config.ddf, ddf_outputs, ddf_batch, model.config.ddf_radius
+    )
+    # DDF depth PSNR metric (``ddf_model.py:381-405``)
+    m = ddf_batch["mask"].reshape(-1, 1)
+    pred_d = ddf_outputs["expected_termination_dist"].reshape(-1, 1) * m
+    gt_d = ddf_batch["termination_dist"].reshape(-1, 1) * m
+    mse = jnp.mean((pred_d - gt_d) ** 2)
+    metrics = {
+        "ddf_depth_psnr": -10.0 * jnp.log10(
+            jnp.maximum(mse / (model.config.ddf_radius**2), 1e-10)
+        )
+    }
+    total = jnp.asarray(0.0)
+    for v in vis_losses.values():
+        total = total + v
+    return total, {"loss_dict": vis_losses, "metrics": metrics}
+
+
+def train_loss_fn(
+    model: NeuSkyModel,
+    pipeline_config: PipelineConfig,
+    params,
+    rng: jax.Array,
+    batch: Dict[str, Any],
+    step: jnp.ndarray,
+) -> Tuple[jnp.ndarray, Dict[str, Any]]:
+    """One training step's scalar loss + aux (loss dict, metrics) — the
+    scene half plus (when fitting the visibility field) the DDF half, as in
+    ``get_train_loss_dict`` (``neusky_pipeline.py:240-291``).
+
+    ``batch``:
+      - ``ray_bundle``: RayBundle [N]
+      - ``image`` [N,3], ``mask`` [N,4]
+      - ``image_indices`` [U], ``ray_image_idx`` [N]
+      - ``sky_ray_bundle``: RayBundle [K] (optional; for the DDF sky loss)
+    """
+    k_scene, k_ddf = jax.random.split(rng)
+    total, aux = scene_loss_fn(model, params, k_scene, batch, step)
+    if model.config.fit_visibility_field and model.ddf is not None:
+        ddf_total, ddf_aux = ddf_fit_loss_fn(
+            model, pipeline_config, params, k_ddf, batch, step
+        )
+        total = total + ddf_total
+        aux = {
+            "loss_dict": {**aux["loss_dict"], **ddf_aux["loss_dict"]},
+            "metrics": {**aux["metrics"], **ddf_aux["metrics"]},
+        }
+    return total, aux
 
 
 def eval_latent_loss_fn(

@@ -30,7 +30,13 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from neusky_tpu.models.neusky import NeuSkyModel
-from neusky_tpu.models.pipeline import PipelineConfig, eval_latent_loss_fn, train_loss_fn
+from neusky_tpu.models.pipeline import (
+    PipelineConfig,
+    ddf_fit_loss_fn,
+    eval_latent_loss_fn,
+    scene_loss_fn,
+    train_loss_fn,
+)
 
 
 def make_mesh(devices=None, axis_name: str = "data") -> Mesh:
@@ -106,6 +112,71 @@ def make_train_step(
         in_shardings=(repl, repl, None, repl, repl),
         out_shardings=(repl, repl, None),
     )
+
+
+def make_train_step_split(
+    model: NeuSkyModel,
+    pipeline_config: PipelineConfig,
+    optimizer,
+    mesh: Optional[Mesh] = None,
+) -> Callable:
+    """Train step compiled as THREE smaller executables (scene grad, DDF-fit
+    grad, optimizer apply) with gradients summed before the update —
+    numerically identical to the fused step, but each compile unit is far
+    smaller (the fused backward overwhelms the TPU compiler at full model
+    scale).  Returns a python closure with the same signature as
+    ``make_train_step``'s output."""
+
+    def scene_grad(params, rng, batch, step):
+        return jax.value_and_grad(
+            lambda p: scene_loss_fn(model, p, rng, batch, step), has_aux=True
+        )(params)
+
+    def ddf_grad(params, rng, batch, step):
+        return jax.value_and_grad(
+            lambda p: ddf_fit_loss_fn(model, pipeline_config, p, rng, batch, step),
+            has_aux=True,
+        )(params)
+
+    def apply_updates(params, opt_state, g1, g2):
+        grads = jax.tree_util.tree_map(lambda a, b: a + b, g1, g2)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+        return params, opt_state
+
+    def apply_updates_single(params, opt_state, g1):
+        updates, opt_state = optimizer.update(g1, opt_state, params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+        return params, opt_state
+
+    jit_kw = {}
+    if mesh is not None:
+        repl = NamedSharding(mesh, P())
+        jit_kw = {"in_shardings": (repl, None, None, repl), "out_shardings": None}
+    scene_grad = jax.jit(scene_grad, **jit_kw)
+    ddf_grad = jax.jit(ddf_grad, **jit_kw)
+    apply_updates = jax.jit(apply_updates)
+    apply_updates_single = jax.jit(apply_updates_single)
+    fit_ddf = model.config.fit_visibility_field and model.ddf is not None
+
+    def step_fn(params, opt_state, batch, rng, step):
+        k1, k2 = jax.random.split(rng)
+        (total1, aux1), g1 = scene_grad(params, k1, batch, step)
+        if fit_ddf:
+            (total2, aux2), g2 = ddf_grad(params, k2, batch, step)
+            params, opt_state = apply_updates(params, opt_state, g1, g2)
+            aux = {
+                "loss_dict": {**aux1["loss_dict"], **aux2["loss_dict"]},
+                "metrics": {**aux1["metrics"], **aux2["metrics"]},
+                "total_loss": total1 + total2,
+            }
+        else:
+            params, opt_state = apply_updates_single(params, opt_state, g1)
+            aux = dict(aux1)
+            aux["total_loss"] = total1
+        return params, opt_state, aux
+
+    return step_fn
 
 
 def make_eval_latent_step(

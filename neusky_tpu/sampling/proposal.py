@@ -98,7 +98,14 @@ def pdf_sample_bins(
 
     bins_s: [N, S+1] s-domain edges; weights: [N, S, 1] from previous level.
     Returns new s-domain edges [N, num_samples+1].
+
+    Resampling is NOT differentiated through (mip-NeRF-360 semantics: the
+    proposal networks learn only via the interlevel loss) — stop-gradient
+    here both matches the reference stack and keeps the backward graph from
+    carrying the whole resampling chain.
     """
+    bins_s = jax.lax.stop_gradient(bins_s)
+    weights = jax.lax.stop_gradient(weights)
     n, s = weights.shape[0], weights.shape[1]
     w = weights[..., 0] + histogram_padding  # [N, S]
     w_sum = jnp.sum(w, axis=-1, keepdims=True)
@@ -121,7 +128,13 @@ def pdf_sample_bins(
         u = jnp.linspace(0.0, 1.0 - 1.0 / m, m)[None, :] + 0.5 / m
         u = jnp.tile(u, (n, 1))
 
-    idx = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"))(cdf, u)
+    # vectorised searchsorted(side="right"): count of cdf entries ≤ u.
+    # A [N, M, S+1] comparison + sum compiles to flat VPU code — the vmapped
+    # searchsorted lowers to per-element while loops and is a compile-time
+    # hog on the TPU toolchain (~minutes for the full model).
+    idx = jnp.sum(
+        (cdf[:, None, :] <= u[:, :, None]).astype(jnp.int32), axis=-1
+    )
     below = jnp.clip(idx - 1, 0, s)
     above = jnp.clip(idx, 0, s)
     cdf_below = jnp.take_along_axis(cdf, below, axis=-1)

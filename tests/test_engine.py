@@ -1,0 +1,135 @@
+"""Tests: checkpoint subtree restore, writer, schedules, DDF trainer,
+RENI prior trainer, eval panels."""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from neusky_tpu.engine.checkpoint import (
+    latest_step,
+    load_checkpoint,
+    load_param_subtrees,
+    save_checkpoint,
+)
+from neusky_tpu.engine.optimizers import (
+    cosine_decay_schedule,
+    exponential_decay_schedule,
+)
+from neusky_tpu.engine.writer import Writer
+
+
+def test_schedules():
+    s = cosine_decay_schedule(1e-2, max_steps=1000, warm_up_end=100, learning_rate_alpha=0.05)
+    assert float(s(0)) == 0.0
+    assert abs(float(s(100)) - 1e-2) < 1e-6
+    assert abs(float(s(1000)) - 0.05 * 1e-2) < 1e-6
+    e = exponential_decay_schedule(1e-1, 1e-7, max_steps=250)
+    assert abs(float(e(0)) - 1e-1) < 1e-6
+    assert abs(float(e(250)) - 1e-7) < 1e-10
+    # warmup variant starts small
+    ew = exponential_decay_schedule(1e-3, 1e-4, 1000, warmup_steps=100)
+    assert float(ew(0)) < 1e-4
+
+
+def test_checkpoint_subtree_restore(tmp_path):
+    params = {
+        "fields": {"w": jnp.ones((3,))},
+        "ddf_field": {"w": jnp.full((2,), 2.0)},
+        "illumination_decoder": {"w": jnp.full((2,), 3.0)},
+    }
+    save_checkpoint(tmp_path, 7, params, {"opt": jnp.zeros(1)})
+    assert latest_step(tmp_path) == 7
+
+    fresh = {
+        "fields": {"w": jnp.zeros((3,))},
+        "ddf_field": {"w": jnp.zeros((2,))},
+        "illumination_decoder": {"w": jnp.zeros((2,))},
+    }
+    # decoder-only restore (RENI++ surgical load)
+    out = load_param_subtrees(tmp_path, 7, fresh, include=("illumination_decoder",))
+    assert np.allclose(out["illumination_decoder"]["w"], 3.0)
+    assert np.allclose(out["fields"]["w"], 0.0)
+    # everything-but-visibility restore
+    out2 = load_param_subtrees(tmp_path, 7, fresh, exclude=("ddf_field",))
+    assert np.allclose(out2["fields"]["w"], 1.0)
+    assert np.allclose(out2["ddf_field"]["w"], 0.0)
+
+
+def test_writer(tmp_path):
+    w = Writer(str(tmp_path))
+    w.write_scalars(1, {"loss": 0.5})
+    w.write_scalars(2, {"loss": 0.25})
+    w.write_image(2, "panel", np.zeros((4, 4, 3)))
+    w.close()
+    lines = (tmp_path / "events.jsonl").read_text().strip().split("\n")
+    assert len(lines) == 2
+    assert json.loads(lines[1])["loss"] == 0.25
+    assert (tmp_path / "images" / "step-000000002" / "panel.png").exists()
+
+
+def test_ddf_predicted_normals():
+    from neusky_tpu.fields.ddf import DDFFieldConfig
+    from neusky_tpu.models.ddf_model import (
+        DDFModel,
+        DDFModelConfig,
+        ddf_predicted_normals,
+    )
+
+    cfg = DDFModelConfig(
+        field=DDFFieldConfig(
+            conditioning="Concat", position_encoding_type="none",
+            direction_encoding_type="none", hidden_layers=2, hidden_features=32,
+        )
+    )
+    model = DDFModel(cfg, ddf_radius=1.0)
+    o = jax.random.normal(jax.random.PRNGKey(0), (8, 3))
+    o = o / jnp.linalg.norm(o, axis=-1, keepdims=True)
+    d = -o
+    params = model.init(jax.random.PRNGKey(1), o, d)
+    n = ddf_predicted_normals(model, params, o, d)
+    assert n.shape == (8, 3)
+    norms = np.linalg.norm(np.asarray(n), axis=-1)
+    assert np.allclose(norms, 1.0, atol=1e-4)
+    # oriented against the ray
+    dots = np.sum(np.asarray(n) * np.asarray(d), axis=-1)
+    assert np.all(dots <= 1e-5)
+
+
+def test_eval_panels_and_depth_alignment():
+    from neusky_tpu.engine.eval_panels import (
+        normalized_depth_scale_and_shift,
+    )
+
+    rng = np.random.default_rng(0)
+    gt = rng.uniform(1.0, 3.0, (16, 16))
+    pred = (gt - 0.5) / 2.0  # gt = 2*pred + 0.5
+    mask = np.ones_like(gt)
+    s, t = normalized_depth_scale_and_shift(pred, gt, mask)
+    assert abs(s - 2.0) < 1e-6 and abs(t - 0.5) < 1e-6
+
+
+def test_reni_trainer_smoke():
+    from neusky_tpu.engine.reni_trainer import RENITrainer, RENITrainerConfig
+    from neusky_tpu.fields.reni import RENIFieldConfig
+
+    rng = np.random.default_rng(0)
+    envmaps = rng.uniform(0.01, 5.0, (2, 8, 16, 3)).astype(np.float32)
+    trainer = RENITrainer(
+        RENITrainerConfig(
+            field=RENIFieldConfig(
+                latent_dim=4, hidden_features=16, num_attention_heads=2,
+                num_attention_layers=1, fixed_decoder=False,
+            ),
+            pixels_per_step=64,
+        ),
+        envmaps,
+    )
+    hist = trainer.run(num_steps=30, log_every=10)
+    assert np.isfinite(hist[-1]["total"])
+    assert hist[-1]["recon"] < hist[0]["recon"] * 1.5  # not exploding
+    env = trainer.decode_envmap(trainer.params["latents"][0], width=16)
+    assert env.shape == (8, 16, 3)
+    assert (env > 0).all()

@@ -83,6 +83,16 @@ class TestSDFAlbedoField:
         n = np.linalg.norm(np.array(out["normal"]), axis=-1)
         assert np.allclose(n, 1.0, atol=1e-4)
 
+    def test_forward_mode_gradient_matches_reverse(self):
+        import dataclasses
+
+        field, params = self._field()
+        pts = jax.random.uniform(jax.random.PRNGKey(3), (8, 3), minval=-0.5, maxval=0.5)
+        _, _, g_rev = field.apply(params, pts, method=field.geo_with_grad)
+        fwd_field = SDFAlbedoField(dataclasses.replace(field.config, gradient_mode="forward"))
+        _, _, g_fwd = fwd_field.apply(params, pts, method=fwd_field.geo_with_grad)
+        assert np.allclose(np.asarray(g_rev), np.asarray(g_fwd), atol=1e-4)
+
     def test_eikonal_trainable(self):
         """The eikonal loss must be differentiable wrt all params
         (2nd-order AD through hash + MLP)."""

@@ -155,6 +155,49 @@ def test_full_joint_step_runs(sphere_scene):
     assert "sdf_level_set_visibility_loss" in last
 
 
+def test_split_step_matches_fused(sphere_scene):
+    """The 3-executable split step must match the fused step numerically
+    (same rng → same grads → same update)."""
+    import jax
+    import jax.numpy as jnp
+
+    from neusky_tpu.engine.optimizers import OptimizerGroupConfig, build_optimizer
+    from neusky_tpu.models.neusky import NeuSkyModel
+    from neusky_tpu.models.pipeline import PipelineConfig
+    from neusky_tpu.parallel.mesh import make_train_step, make_train_step_split
+    from neusky_tpu.sampling.ddf_sampler import DDFSamplerConfig
+
+    _, dm = sphere_scene
+    cfg = tiny_model_config(use_visibility=True, fit_visibility=True)
+    model = NeuSkyModel(cfg)
+    pipe = PipelineConfig(
+        visibility_train_sampler=DDFSamplerConfig(
+            num_samples_on_sphere=2, num_rays_per_sample=16,
+        ),
+        num_sky_rays=32,
+    )
+    params = model.init(jax.random.PRNGKey(0))
+    groups = {
+        name: OptimizerGroupConfig(lr=1e-3, schedule="constant", max_steps=10)
+        for name in ("proposal_networks", "fields", "illumination_field",
+                     "visibility_sigmoid", "ddf_field")
+    }
+    opt = build_optimizer(params, groups)
+    opt_state = opt.init(params)
+    batch = dm.next_train(0)
+    rng = jax.random.PRNGKey(7)
+    step = jnp.asarray(0.0)
+
+    fused = make_train_step(model, pipe, opt, donate=False)
+    p1, _, aux1 = fused(params, opt_state, batch, rng, step)
+    split = make_train_step_split(model, pipe, opt)
+    p2, _, aux2 = split(params, opt_state, batch, rng, step)
+
+    assert np.allclose(float(aux1["total_loss"]), float(aux2["total_loss"]), rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)):
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
 def test_checkpoint_roundtrip(sphere_scene, tmp_path):
     _, dm = sphere_scene
     cfg = tiny_model_config(use_visibility=False, fit_visibility=False)
