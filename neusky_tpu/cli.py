@@ -118,6 +118,9 @@ def cmd_train(args, overrides):
     from neusky_tpu.engine.trainer import Trainer
     from neusky_tpu.models.neusky import NeuSkyModel
 
+    if args.method == "ddf":
+        return _cmd_train_ddf(args, overrides)
+
     spec = METHOD_REGISTRY[args.method]
     bundle = spec.build()
     bundle = _apply_overrides(bundle, overrides)
@@ -149,6 +152,50 @@ def cmd_train(args, overrides):
     trainer.run(log_fn=log)
     trainer.save()
     print(f"done — checkpoints in {trainer_config.output_dir}")
+
+
+def _cmd_train_ddf(args, overrides):
+    """Standalone DDF fit against a frozen NeuSky checkpoint
+    (``ns-train ddf`` equivalent, ``pipelines/ddf_pipeline.py``)."""
+    import jax
+
+    from neusky_tpu.configs import METHOD_REGISTRY
+    from neusky_tpu.engine.checkpoint import load_param_subtrees
+    from neusky_tpu.engine.ddf_trainer import DDFTrainer, DDFTrainerConfig
+    from neusky_tpu.models.neusky import NeuSkyModel
+
+    if not args.load_dir:
+        raise SystemExit("ddf training requires --load-dir (frozen NeuSky ckpt)")
+    # model config comes from the scene method (tiny for demo, neusky for real)
+    scene_method = "neusky-tiny" if args.synthetic_demo else "neusky"
+    bundle = _apply_overrides(METHOD_REGISTRY[scene_method].build(), overrides)
+    model_config = bundle["model_config"]
+    dm = _build_datamanager(args, model_config)
+    model_config = dataclasses.replace(
+        model_config, num_train_data=dm.num_train, num_eval_data=max(dm.num_eval, 1)
+    )
+    model = NeuSkyModel(model_config)
+    params = model.init(jax.random.PRNGKey(0))
+    params = load_param_subtrees(args.load_dir, None, params)  # full restore
+
+    ddf_bundle = METHOD_REGISTRY["ddf"].build()
+    tcfg = DDFTrainerConfig(
+        max_num_iterations=args.max_iterations
+        or ddf_bundle["trainer_config"].max_num_iterations,
+        sampler=ddf_bundle["sampler_config"],
+    )
+    trainer = DDFTrainer(tcfg, model, params, datamanager=dm)
+
+    def log(rec):
+        print(json.dumps({k: round(v, 5) if isinstance(v, float) else v for k, v in rec.items()}))
+
+    trainer.run(log_fn=log)
+    # save back: merged params with the trained DDF
+    from neusky_tpu.engine.checkpoint import save_checkpoint
+
+    params["ddf_field"] = trainer.ddf_params
+    save_checkpoint(Path(args.output_dir), trainer.step, params, {})
+    print(f"done — DDF checkpoint in {args.output_dir}")
 
 
 def cmd_eval(args, overrides):

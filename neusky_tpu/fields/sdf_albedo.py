@@ -55,7 +55,11 @@ class SDFAlbedoFieldConfig:
     contraction_order: str = "l2"
     position_encoding_freqs: int = 6  # NeRF PE, no input passthrough
     use_position_encoding: bool = True
-    gradient_mode: str = "reverse"  # reverse (jax.grad) | forward (3×JVP)
+    gradient_mode: str = "forward"  # forward (3×JVP) | reverse (jax.grad)
+    # forward is the default: numerically identical (tested), and the
+    # reverse-mode grad-of-grad structure crashes the TPU compiler at full
+    # model scale (SIGILL in tpu_compile_helper) while forward-over-reverse
+    # compiles in ~85s.
 
 
 class SDFAlbedoField(nn.Module):
