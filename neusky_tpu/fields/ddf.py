@@ -56,6 +56,7 @@ class DDFFieldConfig:
     epsilon_s: float = 1e-5
     first_omega_0: float = 30.0
     hidden_omega_0: float = 30.0
+    use_bf16_compute: bool = True  # MXU bf16 matmuls, fp32 params/accum
 
 
 def _activation(name: str):
@@ -103,6 +104,7 @@ class DirectionalDistanceField(nn.Module):
                 mapping_network_features=c.mapping_features,
                 out_dim=out_features,
                 outermost_linear=True,
+                compute_dtype=jnp.bfloat16 if c.use_bf16_compute else None,
             )
         elif c.conditioning == "Attention":
             self.net = TransformerDecoder(

@@ -154,6 +154,10 @@ class FiLMSiren(nn.Module):
 
     ``__call__(x, conditioning_input)``: x is the per-ray input (directions),
     conditioning_input drives the mapping network (positions / latents).
+
+    ``compute_dtype=bfloat16`` runs the matmuls on the MXU at 2× throughput
+    with fp32 params and fp32 accumulation (``preferred_element_type``); the
+    sin() nonlinearity and FiLM modulation stay fp32.
     """
 
     hidden_layers: int
@@ -163,6 +167,7 @@ class FiLMSiren(nn.Module):
     out_dim: int
     outermost_linear: bool = True
     out_activation: Optional[Callable] = None
+    compute_dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, conditioning_input: jnp.ndarray) -> jnp.ndarray:
@@ -174,6 +179,7 @@ class FiLMSiren(nn.Module):
         )(conditioning_input)
         freqs = freqs * 15.0 + 30.0  # ``siren.py:200``
 
+        cdt = self.compute_dtype
         h = x
         for i in range(n_film):
             in_dim = h.shape[-1]
@@ -184,7 +190,12 @@ class FiLMSiren(nn.Module):
                 lambda r, s, fi=in_dim: _torch_bias_init(r, s, fan_in=fi),
                 (self.hidden_features,),
             )
-            lin = jnp.dot(h, w, preferred_element_type=jnp.float32) + b
+            if cdt is not None:
+                lin = jnp.dot(
+                    h.astype(cdt), w.astype(cdt), preferred_element_type=jnp.float32
+                ) + b
+            else:
+                lin = jnp.dot(h, w, preferred_element_type=jnp.float32) + b
             f = freqs[..., i * self.hidden_features : (i + 1) * self.hidden_features]
             p = phases[..., i * self.hidden_features : (i + 1) * self.hidden_features]
             h = jnp.sin(f * lin + p)
