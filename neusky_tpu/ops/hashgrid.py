@@ -111,8 +111,8 @@ class HashGridEncoding:
     def _level_indices(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Compute corner table indices and interp weights for all levels.
 
-        x: [N, 3] in [0,1].  Returns (indices [N, L, 8] int32 into the
-        *flattened* [L*T, F] table, weights [N, L, 8]).
+        x: [N, 3] in [0,1].  Returns (per-level indices [N, L, 8] int32 in
+        [0, table_size), weights [N, L, 8]).
         """
         c = self.config
         res = jnp.asarray(self._resolutions)  # [L]
@@ -139,10 +139,6 @@ class HashGridEncoding:
         dense_mask = jnp.asarray(self._dense)[None, :, None]  # [1, L, 1]
         idx = jnp.where(dense_mask, dense_idx, hashed)  # [N, L, 8]
 
-        # offset into flattened [L*T] axis
-        level_offset = (jnp.arange(c.num_levels, dtype=jnp.int32) * c.table_size)
-        idx = idx + level_offset[None, :, None]
-
         # interpolation weights
         if c.smoothstep:
             frac = frac * frac * (3.0 - 2.0 * frac)
@@ -151,12 +147,20 @@ class HashGridEncoding:
         return idx, weights
 
     def __call__(self, table: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
-        """Encode positions. x: [N, 3] in [0,1] → [N, L*F]."""
+        """Encode positions. x: [N, 3] in [0,1] → [N, L*F].
+
+        Per-level gathers (not one flat batched gather): on TPU the flat
+        variant makes XLA assign a transposed {0,1}-layout to the table and
+        the backward scatter-add then runs ~4000× slower (observed 636 ms
+        vs sub-ms for a naturally-laid-out scatter).  Per-level [T, F]
+        gathers keep the natural layout on both the gather and its
+        transpose scatter."""
         c = self.config
         n = x.shape[0]
         idx, weights = self._level_indices(x)
-        flat_table = table.reshape(c.num_levels * c.table_size, c.features_per_level)
-        feats = jnp.take(flat_table, idx.reshape(n, -1), axis=0)  # [N, L*8, F]
-        feats = feats.reshape(n, c.num_levels, 8, c.features_per_level)
-        out = jnp.sum(feats * weights[..., None].astype(feats.dtype), axis=2)  # [N, L, F]
-        return out.reshape(n, c.out_dim)
+        w = weights.astype(table.dtype)
+        outs = []
+        for lvl in range(c.num_levels):
+            feats = jnp.take(table[lvl], idx[:, lvl, :], axis=0)  # [N, 8, F]
+            outs.append(jnp.sum(feats * w[:, lvl, :, None], axis=1))  # [N, F]
+        return jnp.concatenate(outs, axis=-1)
