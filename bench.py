@@ -38,7 +38,7 @@ def main():
     from neusky_tpu.models.neusky import NeuSkyModel
     from neusky_tpu.models.pipeline import PipelineConfig
     from neusky_tpu.configs.neusky_config import neusky_model_config
-    from neusky_tpu.parallel.mesh import make_train_step
+    from neusky_tpu.parallel.mesh import make_train_step_split
     from neusky_tpu.sampling.ddf_sampler import DDFSamplerConfig
 
     cfg = neusky_model_config(num_train_data=8, num_eval_data=2)
@@ -65,7 +65,9 @@ def main():
     params = model.init(jax.random.PRNGKey(0))
     optimizer = build_optimizer(params, default_neusky_optimizer_groups(100001))
     opt_state = optimizer.init(params)
-    step_fn = make_train_step(model, pipe, optimizer, mesh=None)
+    # split compilation: scene grad + DDF-fit grad + one summed update —
+    # numerically identical to the fused step (tested) with lower peak HBM
+    step_fn = make_train_step_split(model, pipe, optimizer)
 
     rng = jax.random.PRNGKey(1)
     batch = dm.next_train(0)

@@ -71,7 +71,15 @@ def neusky_model_config(
         ),
         ddf=DDFModelConfig(
             field=DDFFieldConfig(
-                ddf_type="ddf", position_encoding_type="hash",
+                ddf_type="ddf",
+                # TPU divergence from ``configs/neusky_config.py:165``
+                # ("hash"): XLA scatter-add runs at ~12M rows/s on TPU, and a
+                # hash-encoded DDF costs 33M gradient-scatter rows per step
+                # in the N·D visibility pass alone.  The DDF domain is a
+                # smooth 2-sphere × hemisphere — frequency encoding + the
+                # 5×256 FiLM mapping net carries it without grids.  Set
+                # "hash" to reproduce the reference architecture exactly.
+                position_encoding_type="nerf",
                 direction_encoding_type="nerf", conditioning="FiLM",
                 termination_output_activation="sigmoid",
                 hidden_layers=5, hidden_features=256,

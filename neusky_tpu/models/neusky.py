@@ -129,6 +129,14 @@ class NeuSkyModelConfig:
     mask_to_building_in_metrics: bool = False
     visibility_query_chunk: int = 8192  # DDF queries per remat chunk
     cos_anneal_ratio: float = 1.0
+    sdf_level_set_subset: int = 64
+    """Directions per ray for the sdf-at-termination query feeding
+    ``sdf_level_set_visibility_loss``.  The reference evaluates the SDF at
+    every (ray × light-direction) termination point
+    (``ddf_model.py:241-251``) — ~33M hash-gradient scatter rows per step on
+    TPU.  A strided subset is an unbiased estimator of the same mean-squared
+    level-set loss (directions are freshly randomly rotated each step);
+    0 → use all directions."""
 
 
 def _chunked_apply(fn: Callable, args: Tuple[jnp.ndarray, ...], chunk: int):
@@ -353,10 +361,25 @@ class NeuSkyModel:
         r = c.ddf_radius
         n = ray_samples.num_rays
         dmask = None
-        dirs = illumination_directions
+        dirs_full = illumination_directions
+        d_full = dirs_full.shape[0]
+        upper_prune = c.only_upperhemisphere_visibility and d_full > 8
+        if upper_prune:
+            # Exact fixed-shape culling (``neusky_model.py:1650-1659``): the
+            # icosphere vertex set is antipodally symmetric, so exactly half
+            # the (rotated) directions have z > 0.  Take the top ceil(D/2)+pad
+            # by z — a static-shape gather — and compute visibility only
+            # there; the lower hemisphere is filled with the configured
+            # constant.  Halves the N·D DDF/SDF query cost.
+            k = min(d_full, d_full // 2 + 8)
+            _, top_idx = jax.lax.top_k(dirs_full[:, 2], k)
+            dirs = dirs_full[top_idx]
+            dmask = (dirs[:, 2] > 0).astype(jnp.float32)  # [k] (pad rows → 0)
+        else:
+            dirs = dirs_full
+            if c.only_upperhemisphere_visibility:
+                dmask = (dirs[:, 2] > 0).astype(jnp.float32)
         d = dirs.shape[0]
-        if c.only_upperhemisphere_visibility:
-            dmask = (dirs[:, 2] > 0).astype(jnp.float32)  # [D]
 
         origins = ray_samples.origins[:, 0, :]  # [N, 3]
         ray_dirs = ray_samples.directions[:, 0, :]
@@ -400,9 +423,17 @@ class NeuSkyModel:
             fill = 1.0 if c.lower_hemisphere_visibility else 0.0
             visibility = visibility * dmask[None, :] + fill * (1.0 - dmask[None, :])
 
+        difference = difference.reshape(n, d)
+        if upper_prune:
+            fill = 1.0 if c.lower_hemisphere_visibility else 0.0
+            vis_full = jnp.full((n, d_full), fill, visibility.dtype)
+            visibility = vis_full.at[:, top_idx].set(visibility)
+            diff_full = jnp.zeros((n, d_full), difference.dtype)
+            difference = diff_full.at[:, top_idx].set(difference)
+
         result = {
             "visibility": visibility[:, None, :],  # [N, 1, D] broadcast over samples
-            "difference": difference.reshape(n, d),
+            "difference": difference,
             "expected_termination_dist": expected,
         }
 
@@ -411,6 +442,14 @@ class NeuSkyModel:
             field_params = params["fields"]
             if stop_sdf_gradients:
                 field_params = jax.tree_util.tree_map(jax.lax.stop_gradient, field_params)
+
+            sub = c.sdf_level_set_subset
+            if sub and sub < d:
+                # strided direction subset — unbiased for the level-set MSE
+                # since the direction set is freshly rotated every step
+                stride = d // sub
+                tp = term_points.reshape(n, d, 3)[:, :: stride, :][:, :sub, :]
+                term_points = tp.reshape(-1, 3)
 
             def sdf_query(p):
                 return self.field.apply(field_params, p, method=self.field.sdf_only)

@@ -45,6 +45,10 @@ class HashGridConfig:
     max_res: int = 2048
     use_hash: bool = True  # False → dense grid at every level (small tables)
     smoothstep: bool = False
+    layout_barrier: bool = True
+    """Wrap the encode output in an optimization_barrier so XLA cannot
+    propagate the consuming matmul's layout back onto the gather/scatter —
+    observed to slow the table scatter-adds by >100× on TPU."""
 
     @property
     def table_size(self) -> int:
@@ -163,4 +167,7 @@ class HashGridEncoding:
         for lvl in range(c.num_levels):
             feats = jnp.take(table[lvl], idx[:, lvl, :], axis=0)  # [N, 8, F]
             outs.append(jnp.sum(feats * w[:, lvl, :, None], axis=1))  # [N, F]
-        return jnp.concatenate(outs, axis=-1)
+        out = jnp.concatenate(outs, axis=-1)
+        if c.layout_barrier:
+            out = jax.lax.optimization_barrier(out)
+        return out

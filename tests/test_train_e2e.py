@@ -155,6 +155,54 @@ def test_full_joint_step_runs(sphere_scene):
     assert "sdf_level_set_visibility_loss" in last
 
 
+def test_upper_hemisphere_pruning_exact(sphere_scene):
+    """Pruned visibility (top-K z cull) must equal the unpruned computation
+    on the upper hemisphere and the fill constant below."""
+    import jax
+    import jax.numpy as jnp
+
+    from neusky_tpu.core.rays import RayBundle
+    from neusky_tpu.models.neusky import NeuSkyModel
+    from neusky_tpu.sampling.proposal import (
+        bins_to_ray_samples,
+        uniform_lindisp_samples,
+    )
+
+    cfg_pruned = tiny_model_config(use_visibility=True, fit_visibility=True)
+    cfg_all = dataclasses_replace_vis(cfg_pruned, False)
+    m1 = NeuSkyModel(cfg_pruned)
+    m2 = NeuSkyModel(cfg_all)
+    params = m1.init(jax.random.PRNGKey(0))
+
+    n = 8
+    d = jax.random.normal(jax.random.PRNGKey(1), (n, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    rb = RayBundle.create(
+        origins=jnp.tile(jnp.array([[0.0, -0.9, 0.2]]), (n, 1)), directions=d,
+        nears=jnp.full((n, 1), 0.05), fars=jnp.full((n, 1), 2.0),
+    )
+    bins = uniform_lindisp_samples(None, rb, 8, train=False)
+    rs = bins_to_ray_samples(rb, bins)
+    dirs = m1.illumination_sampler(None, apply_random_rotation=False)
+    depth = jnp.full((n, 1), 0.8)
+
+    v1 = m1.compute_visibility(
+        params, rs, depth, dirs, jnp.asarray(0.5), jnp.asarray(25.0), True, False
+    )["visibility"][:, 0, :]
+    v2 = m2.compute_visibility(
+        params, rs, depth, dirs, jnp.asarray(0.5), jnp.asarray(25.0), True, False
+    )["visibility"][:, 0, :]
+    upper = np.asarray(dirs[:, 2] > 0)
+    assert np.allclose(np.asarray(v1)[:, upper], np.asarray(v2)[:, upper], atol=1e-5)
+    assert np.allclose(np.asarray(v1)[:, ~upper], 1.0, atol=1e-6)
+
+
+def dataclasses_replace_vis(cfg, upper):
+    import dataclasses
+
+    return dataclasses.replace(cfg, only_upperhemisphere_visibility=upper)
+
+
 def test_split_step_matches_fused(sphere_scene):
     """The 3-executable split step must match the fused step numerically
     (same rng → same grads → same update)."""
