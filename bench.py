@@ -66,8 +66,12 @@ def main():
     optimizer = build_optimizer(params, default_neusky_optimizer_groups(100001))
     opt_state = optimizer.init(params)
     # split compilation: scene grad + DDF-fit grad + one summed update —
-    # numerically identical to the fused step (tested) with lower peak HBM
-    step_fn = make_train_step_split(model, pipe, optimizer)
+    # numerically identical to the fused step (tested) with lower peak HBM;
+    # layouts pinned across executables to avoid per-call relayout copies
+    step_fn = make_train_step_split(
+        model, pipe, optimizer,
+        example_params=params, example_opt_state=opt_state,
+    )
 
     rng = jax.random.PRNGKey(1)
     batch = dm.next_train(0)

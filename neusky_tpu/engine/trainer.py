@@ -79,7 +79,8 @@ class Trainer:
             from neusky_tpu.parallel.mesh import make_train_step_split
 
             self.train_step = make_train_step_split(
-                model, pipeline_config, self.optimizer, mesh=mesh
+                model, pipeline_config, self.optimizer, mesh=mesh,
+                example_params=self.params, example_opt_state=self.opt_state,
             )
         else:
             self.train_step = make_train_step(

@@ -102,11 +102,17 @@ class HashGridEncoding:
         return self.config.out_dim
 
     def init(self, rng: jax.Array, dtype=jnp.float32) -> jnp.ndarray:
-        """tcnn-style init: uniform in [-1e-4, 1e-4]."""
+        """tcnn-style init: uniform in [-1e-4, 1e-4].
+
+        Stored as [L, T·F] (1-D per level): a [T, 2] trailing shape tiles as
+        (8,128) with 64× lane padding on TPU — the table plus its two Adam
+        moments would waste ~3 GB HBM (observed: 1.05 GB / 16× expansion per
+        buffer in compiler OOM diagnostics).  Flat rows tile losslessly;
+        the encode reshapes per level (a cheap on-chip relayout)."""
         c = self.config
         return jax.random.uniform(
             rng,
-            (c.num_levels, c.table_size, c.features_per_level),
+            (c.num_levels, c.table_size * c.features_per_level),
             dtype=dtype,
             minval=-1e-4,
             maxval=1e-4,
@@ -148,7 +154,11 @@ class HashGridEncoding:
             frac = frac * frac * (3.0 - 2.0 * frac)
         w = jnp.where(corners[None, None, :, :] == 1, frac[:, :, None, :], 1.0 - frac[:, :, None, :])
         weights = jnp.prod(w, axis=-1)  # [N, L, 8]
-        return idx, weights
+        # flatten to [N, L*8]: a trailing dim of 8 tile-pads 16× on TPU and
+        # these arrays are saved as backward residuals (observed 1.05 GB
+        # padded buffers in compiler OOM reports); L*8 lanes tile cleanly
+        n = x.shape[0]
+        return idx.reshape(n, -1), weights.reshape(n, -1)
 
     def __call__(self, table: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
         """Encode positions. x: [N, 3] in [0,1] → [N, L*F].
@@ -161,12 +171,14 @@ class HashGridEncoding:
         transpose scatter."""
         c = self.config
         n = x.shape[0]
-        idx, weights = self._level_indices(x)
+        idx, weights = self._level_indices(x)  # [N, L*8] each
         w = weights.astype(table.dtype)
         outs = []
         for lvl in range(c.num_levels):
-            feats = jnp.take(table[lvl], idx[:, lvl, :], axis=0)  # [N, 8, F]
-            outs.append(jnp.sum(feats * w[:, lvl, :, None], axis=1))  # [N, F]
+            lvl_table = table[lvl].reshape(c.table_size, c.features_per_level)
+            sl = slice(lvl * 8, (lvl + 1) * 8)
+            feats = jnp.take(lvl_table, idx[:, sl], axis=0)  # [N, 8, F]
+            outs.append(jnp.sum(feats * w[:, sl, None], axis=1))  # [N, F]
         out = jnp.concatenate(outs, axis=-1)
         if c.layout_barrier:
             out = jax.lax.optimization_barrier(out)

@@ -119,13 +119,20 @@ def make_train_step_split(
     pipeline_config: PipelineConfig,
     optimizer,
     mesh: Optional[Mesh] = None,
+    pin_layouts: bool = False,
+    example_params=None,
+    example_opt_state=None,
 ) -> Callable:
     """Train step compiled as THREE smaller executables (scene grad, DDF-fit
     grad, optimizer apply) with gradients summed before the update —
     numerically identical to the fused step, but each compile unit is far
-    smaller (the fused backward overwhelms the TPU compiler at full model
-    scale).  Returns a python closure with the same signature as
-    ``make_train_step``'s output."""
+    smaller (the fused graph OOMs a 16 GB chip at full model scale).
+
+    ``pin_layouts``: AOT choreography pinning boundary layouts to the scene
+    executable's auto choices.  Measured SLOWER on the axon v5e runtime
+    (90 vs 226 rays/s) — pinning degrades the executables more than the
+    inter-executable relayout copies cost — so off by default; kept for
+    future runtimes.  Requires example params/opt_state."""
 
     def scene_grad(params, rng, batch, step):
         return jax.value_and_grad(
@@ -149,15 +156,95 @@ def make_train_step_split(
         params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
         return params, opt_state
 
-    jit_kw = {}
+    fit_ddf = model.config.fit_visibility_field and model.ddf is not None
+
     if mesh is not None:
         repl = NamedSharding(mesh, P())
-        jit_kw = {"in_shardings": (repl, None, None, repl), "out_shardings": None}
-    scene_grad = jax.jit(scene_grad, **jit_kw)
-    ddf_grad = jax.jit(ddf_grad, **jit_kw)
-    apply_updates = jax.jit(apply_updates)
-    apply_updates_single = jax.jit(apply_updates_single)
-    fit_ddf = model.config.fit_visibility_field and model.ddf is not None
+        scene_grad = jax.jit(
+            scene_grad, in_shardings=(repl, None, None, repl), out_shardings=None
+        )
+        ddf_grad = jax.jit(
+            ddf_grad, in_shardings=(repl, None, None, repl), out_shardings=None
+        )
+        apply_updates = jax.jit(apply_updates)
+        apply_updates_single = jax.jit(apply_updates_single)
+    elif (
+        pin_layouts
+        and example_params is not None
+        and example_opt_state is not None
+    ):
+        # AOT layout choreography: let the (dominant) scene executable pick
+        # its preferred auto layouts, then pin every other executable's
+        # boundary layouts to match, so params/grads/opt_state never get
+        # relayout-copied between the three executables.
+        scene_grad = jax.jit(scene_grad)
+        ddf_grad_j = jax.jit(ddf_grad)
+
+        def finalize(example_batch, example_rng, example_step):
+            scene_c = scene_grad.lower(
+                example_params, example_rng, example_batch, example_step
+            ).compile()
+            fmt_params = scene_c.input_formats[0][0]
+            fmt_grads = scene_c.output_formats[1]
+
+            ddf_pinned = jax.jit(
+                ddf_grad,
+                in_shardings=(fmt_params, None, None, None),
+                out_shardings=((None, None), fmt_grads),
+            )
+            # apply: inputs conform to scene's choices; params OUT must equal
+            # params IN (next step feeds scene again); opt_state self-cycles
+            # with AUTO in → pin out to whatever AUTO picked for in.
+            apply_auto = jax.jit(
+                apply_updates,
+                in_shardings=(fmt_params, None, fmt_grads, fmt_grads),
+            )
+            apply_c = apply_auto.lower(
+                example_params, example_opt_state,
+                jax.tree_util.tree_map(jnp.zeros_like, example_params),
+                jax.tree_util.tree_map(jnp.zeros_like, example_params),
+            ).compile()
+            fmt_opt = apply_c.input_formats[0][1]
+            apply_pinned = jax.jit(
+                apply_updates,
+                in_shardings=(fmt_params, fmt_opt, fmt_grads, fmt_grads),
+                out_shardings=(fmt_params, fmt_opt),
+            )
+            apply_single_pinned = jax.jit(
+                apply_updates_single,
+                in_shardings=(fmt_params, fmt_opt, fmt_grads),
+                out_shardings=(fmt_params, fmt_opt),
+            )
+            return scene_c, ddf_pinned, apply_pinned, apply_single_pinned
+
+        _cache = {}
+
+        def step_fn(params, opt_state, batch, rng, step):
+            if "fns" not in _cache:
+                _cache["fns"] = finalize(batch, rng, step)
+            scene_c, ddf_p, apply_p, apply_s = _cache["fns"]
+            k1, k2 = jax.random.split(rng)
+            (total1, aux1), g1 = scene_grad(params, k1, batch, step)
+            if fit_ddf:
+                (total2, aux2), g2 = ddf_p(params, k2, batch, step)
+                params, opt_state = apply_p(params, opt_state, g1, g2)
+                aux = {
+                    "loss_dict": {**aux1["loss_dict"], **aux2["loss_dict"]},
+                    "metrics": {**aux1["metrics"], **aux2["metrics"]},
+                    "total_loss": total1 + total2,
+                }
+            else:
+                params, opt_state = apply_s(params, opt_state, g1)
+                aux = dict(aux1)
+                aux["total_loss"] = total1
+            return params, opt_state, aux
+
+        return step_fn
+    else:
+        scene_grad = jax.jit(scene_grad)
+        ddf_grad = jax.jit(ddf_grad)
+        apply_updates = jax.jit(apply_updates)
+        apply_updates_single = jax.jit(apply_updates_single)
 
     def step_fn(params, opt_state, batch, rng, step):
         k1, k2 = jax.random.split(rng)
