@@ -104,15 +104,15 @@ class HashGridEncoding:
     def init(self, rng: jax.Array, dtype=jnp.float32) -> jnp.ndarray:
         """tcnn-style init: uniform in [-1e-4, 1e-4].
 
-        Stored as [L, T·F] (1-D per level): a [T, 2] trailing shape tiles as
-        (8,128) with 64× lane padding on TPU — the table plus its two Adam
-        moments would waste ~3 GB HBM (observed: 1.05 GB / 16× expansion per
-        buffer in compiler OOM diagnostics).  Flat rows tile losslessly;
-        the encode reshapes per level (a cheap on-chip relayout)."""
+        Shape [L, T, F].  (A flat [L, T·F] storage variant was tried to
+        avoid [T, 2] tile padding at rest; the in-kernel reshape then costs
+        per-call relayouts and measured 2.5× slower end-to-end on the axon
+        runtime — the padded-at-rest layout is the lesser evil for the
+        split-step path.)"""
         c = self.config
         return jax.random.uniform(
             rng,
-            (c.num_levels, c.table_size * c.features_per_level),
+            (c.num_levels, c.table_size, c.features_per_level),
             dtype=dtype,
             minval=-1e-4,
             maxval=1e-4,
@@ -175,9 +175,8 @@ class HashGridEncoding:
         w = weights.astype(table.dtype)
         outs = []
         for lvl in range(c.num_levels):
-            lvl_table = table[lvl].reshape(c.table_size, c.features_per_level)
             sl = slice(lvl * 8, (lvl + 1) * 8)
-            feats = jnp.take(lvl_table, idx[:, sl], axis=0)  # [N, 8, F]
+            feats = jnp.take(table[lvl], idx[:, sl], axis=0)  # [N, 8, F]
             outs.append(jnp.sum(feats * w[:, sl, None], axis=1))  # [N, F]
         out = jnp.concatenate(outs, axis=-1)
         if c.layout_barrier:
