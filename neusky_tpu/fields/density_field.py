@@ -55,7 +55,8 @@ class HashMLPDensityField(nn.Module):
         shape = positions.shape[:-1]
         x = positions.reshape(-1, 3)
         x = contraction_to_unit_cube(x, self.config.contraction_order)
-        h = self.encoding(self.table, x)
+        # reverse-only context → Pallas-backed table gather (fast backward)
+        h = self.encoding(self.table, x, custom_take=True)
         for layer in self.layers[:-1]:
             h = nn.relu(layer(h))
         out = self.layers[-1](h)

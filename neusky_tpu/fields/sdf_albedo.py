@@ -135,7 +135,7 @@ class SDFAlbedoField(nn.Module):
 
     # ---- geometry ----
 
-    def _geo_input(self, positions: jnp.ndarray) -> jnp.ndarray:
+    def _geo_input(self, positions: jnp.ndarray, custom_take: bool = False) -> jnp.ndarray:
         c = self.config
         feats = [positions]
         if c.use_position_encoding:
@@ -147,21 +147,29 @@ class SDFAlbedoField(nn.Module):
             )
         if c.use_grid_feature:
             x01 = contraction_to_unit_cube(positions, c.contraction_order)
-            feats.append(self.encoding(self.hash_table, x01))
+            feats.append(self.encoding(self.hash_table, x01, custom_take=custom_take))
         return jnp.concatenate(feats, axis=-1)
 
-    def geo(self, positions: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """positions [M, 3] → (sdf [M, 1], geo_feat [M, G])."""
-        h = self._geo_input(positions)
+    def _geo_mlp(self, h: jnp.ndarray) -> jnp.ndarray:
+        """The geometry MLP proper (post-encoding): [M, in] → [M, 1+G]."""
         for i, layer in enumerate(self.geo_layers):
             h = layer(h)
             if i < len(self.geo_layers) - 1:
                 h = softplus_beta(h, 100.0)
+        return h
+
+    def geo(
+        self, positions: jnp.ndarray, custom_take: bool = False
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """positions [M, 3] → (sdf [M, 1], geo_feat [M, G])."""
+        h = self._geo_mlp(self._geo_input(positions, custom_take))
         return h[..., :1], h[..., 1:]
 
     def sdf_only(self, positions: jnp.ndarray) -> jnp.ndarray:
-        """Reference ``get_sdf_at_pos`` (``sdf_albedo_field.py:169-174``)."""
-        return self.geo(positions.reshape(-1, 3))[0]
+        """Reference ``get_sdf_at_pos`` (``sdf_albedo_field.py:169-174``).
+
+        First-order reverse-mode context → Pallas-backed table gather."""
+        return self.geo(positions.reshape(-1, 3), custom_take=True)[0]
 
     def inv_s(self) -> jnp.ndarray:
         return jnp.clip(jnp.exp(self.variance * 10.0), 1e-6, 1e6)
@@ -247,6 +255,8 @@ class SDFAlbedoField(nn.Module):
         XLA, which matters for whole-model compile size on TPU.
         """
         if self.config.gradient_mode == "forward":
+            if self.config.use_grid_feature:
+                return self._geo_with_grad_analytic(positions)
             sdf, geo_feat = self.geo(positions)
 
             def sdf_fn(p):
@@ -266,3 +276,62 @@ class SDFAlbedoField(nn.Module):
         sdf, geo_feat = self.geo(positions)
         gradients = jax.grad(jax.checkpoint(sdf_sum))(positions)
         return sdf, geo_feat, gradients
+
+    def _geo_with_grad_analytic(self, positions: jnp.ndarray):
+        """Forward-mode gradient with *analytic* encode derivatives.
+
+        The hash gather runs through the custom-VJP ``take_rows`` (Pallas
+        scatter backward, 7.3× faster than XLA scatter); since custom_vjp
+        cannot sit under JVP, the encode's position derivative is computed
+        in closed form (``encode_with_dx``) and only the MLP is JVP'd.
+        Everything stays reverse-differentiable for the eikonal loss."""
+        c = self.config
+
+        # analytic encode + d(encode)/d(x01); contraction jacobian via JVP
+        # of the (cheap, gather-free) contraction map
+        def contract_fn(p):
+            return contraction_to_unit_cube(p, c.contraction_order)
+
+        x01 = contract_fn(positions)
+        feats, dfeats_dx01 = self.encoding.encode_with_dx(self.hash_table, x01)
+
+        # d(encode)/d(position) = dfeats_dx01 · J_contraction
+        dfeats_dpos = []
+        pe_tangents = []
+        for axis in range(3):
+            tangent = jnp.zeros_like(positions).at[:, axis].set(1.0)
+            _, dx01 = jax.jvp(contract_fn, (positions,), (tangent,))  # [M,3]
+            dfeats_dpos.append(
+                jnp.einsum("mbf,mb->mf", dfeats_dx01, dx01)
+            )  # [M, L*F]
+            if c.use_position_encoding:
+                pe_fn = lambda p: nerf_encoding(
+                    p, c.position_encoding_freqs, 0.0,
+                    float(c.position_encoding_freqs - 1),
+                )
+                _, dpe = jax.jvp(pe_fn, (positions,), (tangent,))
+                pe_tangents.append(dpe)
+
+        parts = [positions]
+        if c.use_position_encoding:
+            parts.append(
+                nerf_encoding(
+                    positions, c.position_encoding_freqs, 0.0,
+                    float(c.position_encoding_freqs - 1),
+                )
+            )
+        parts.append(feats)
+        h = jnp.concatenate(parts, axis=-1)
+
+        sdf_cols = []
+        hidden = None
+        for axis in range(3):
+            t_parts = [jnp.zeros_like(positions).at[:, axis].set(1.0)]
+            if c.use_position_encoding:
+                t_parts.append(pe_tangents[axis])
+            t_parts.append(dfeats_dpos[axis])
+            th = jnp.concatenate(t_parts, axis=-1)
+            hidden, d_hidden = jax.jvp(self._geo_mlp, (h,), (th,))
+            sdf_cols.append(d_hidden[..., 0])
+        gradients = jnp.stack(sdf_cols, axis=-1)  # [M, 3]
+        return hidden[..., :1], hidden[..., 1:], gradients

@@ -160,7 +160,9 @@ class HashGridEncoding:
         n = x.shape[0]
         return idx.reshape(n, -1), weights.reshape(n, -1)
 
-    def __call__(self, table: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(
+        self, table: jnp.ndarray, x: jnp.ndarray, custom_take: bool = False
+    ) -> jnp.ndarray:
         """Encode positions. x: [N, 3] in [0,1] → [N, L*F].
 
         Per-level gathers (not one flat batched gather): on TPU the flat
@@ -168,17 +170,92 @@ class HashGridEncoding:
         the backward scatter-add then runs ~4000× slower (observed 636 ms
         vs sub-ms for a naturally-laid-out scatter).  Per-level [T, F]
         gathers keep the natural layout on both the gather and its
-        transpose scatter."""
+        transpose scatter.
+
+        ``custom_take=True`` routes gathers through the Pallas-backed
+        ``take_rows`` (7.3× faster table backward) — only valid in contexts
+        never forward-mode differentiated (custom_vjp restriction); JVP
+        paths use :meth:`encode_with_dx` instead."""
         c = self.config
         n = x.shape[0]
         idx, weights = self._level_indices(x)  # [N, L*8] each
         w = weights.astype(table.dtype)
+        take = self._take(custom_take)
         outs = []
         for lvl in range(c.num_levels):
             sl = slice(lvl * 8, (lvl + 1) * 8)
-            feats = jnp.take(table[lvl], idx[:, sl], axis=0)  # [N, 8, F]
+            feats = take(table[lvl], idx[:, sl])  # [N, 8, F]
             outs.append(jnp.sum(feats * w[:, sl, None], axis=1))  # [N, F]
         out = jnp.concatenate(outs, axis=-1)
         if c.layout_barrier:
             out = jax.lax.optimization_barrier(out)
         return out
+
+    @staticmethod
+    def _take(custom: bool):
+        if custom:
+            from neusky_tpu.ops.hashgrid_pallas import take_rows
+
+            return take_rows
+        return lambda t, i: jnp.take(t, i, axis=0)
+
+    def encode_with_dx(
+        self, table: jnp.ndarray, x: jnp.ndarray, custom_take: bool = True
+    ):
+        """Encode + analytic position derivative.
+
+        x: [N, 3] in [0,1] → (out [N, L*F], dout_dx [N, 3, L*F]).
+
+        The derivative is closed-form from the interpolation weights
+        (∂W_c/∂x_a = ±u'_a · Π_{b≠a} ω_b), so the SDF's spatial gradient
+        never needs AD *through* the gather — which lets the gather be the
+        custom-VJP ``take_rows`` with the Pallas scatter backward
+        (custom_vjp cannot be forward-mode differentiated)."""
+        c = self.config
+        res = jnp.asarray(self._resolutions)
+        scaled = x[:, None, :] * res[None, :, None].astype(x.dtype)  # [N, L, 3]
+        floor = jnp.floor(scaled)
+        frac = scaled - floor
+        base = floor.astype(jnp.int32)
+
+        corners = jnp.asarray(self._corners)
+        coords = base[:, :, None, :] + corners[None, None, :, :]
+        p = jnp.asarray(_PRIMES, dtype=jnp.uint32)
+        cu = coords.astype(jnp.uint32)
+        hashed = (cu[..., 0] * p[0]) ^ (cu[..., 1] * p[1]) ^ (cu[..., 2] * p[2])
+        hashed = (hashed & jnp.uint32(c.table_size - 1)).astype(jnp.int32)
+        rp1 = (res + 1)[None, :, None]
+        cc = jnp.minimum(coords, rp1[..., None] - 1)
+        dense_idx = cc[..., 0] + cc[..., 1] * rp1 + cc[..., 2] * rp1 * rp1
+        dense_idx = jnp.minimum(dense_idx, c.table_size - 1)
+        dense_mask = jnp.asarray(self._dense)[None, :, None]
+        idx = jnp.where(dense_mask, dense_idx, hashed)  # [N, L, 8]
+
+        if c.smoothstep:
+            u = frac * frac * (3.0 - 2.0 * frac)
+            du = 6.0 * frac * (1.0 - frac)
+        else:
+            u = frac
+            du = jnp.ones_like(frac)
+        du = du * res[None, :, None].astype(x.dtype)  # chain rule: frac = x·res
+
+        cbits = corners[None, None, :, :]  # [1, 1, 8, 3]
+        omega = jnp.where(cbits == 1, u[:, :, None, :], 1.0 - u[:, :, None, :])
+        sign = jnp.where(cbits == 1, 1.0, -1.0).astype(x.dtype)
+        W = jnp.prod(omega, axis=-1)  # [N, L, 8]
+        prods = []
+        for a in range(3):
+            others = [b for b in range(3) if b != a]
+            prod_others = omega[..., others[0]] * omega[..., others[1]]
+            prods.append(sign[..., a] * du[:, :, None, a] * prod_others)
+        dW = jnp.stack(prods, axis=-1)  # [N, L, 8, 3]
+
+        take = self._take(custom_take)
+        outs, douts = [], []
+        for lvl in range(c.num_levels):
+            feats = take(table[lvl], idx[:, lvl, :])  # [N, 8, F]
+            outs.append(jnp.einsum("nc,ncf->nf", W[:, lvl], feats))
+            douts.append(jnp.einsum("nca,ncf->naf", dW[:, lvl], feats))
+        out = jnp.concatenate(outs, axis=-1)  # [N, L*F]
+        dout = jnp.concatenate(douts, axis=-1)  # [N, 3, L*F]
+        return out, dout

@@ -130,3 +130,45 @@ def scatter_add_tablegrad(
 def scatter_add_reference(idx, updates, table_size):
     """XLA reference for testing."""
     return jnp.zeros((table_size, 2), updates.dtype).at[idx].add(updates)
+
+
+# ---------------------------------------------------------------------------
+# custom-VJP row gather whose backward is the Pallas scatter
+
+
+def _use_pallas() -> bool:
+    try:
+        return _HAS_PLTPU and jax.devices()[0].platform not in ("cpu",)
+    except Exception:  # pragma: no cover
+        return False
+
+
+@jax.custom_vjp
+def take_rows(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """``table[idx]`` whose transpose is the lane-ownership Pallas scatter.
+
+    table: [T, F=2]; idx: [...], int32 → [..., F].
+
+    NOTE: custom_vjp functions cannot be forward-mode differentiated — the
+    SDF field computes its spatial gradients with analytic encode
+    derivatives (``HashGridEncoding.encode_with_dx``) precisely so no JVP
+    ever passes through here."""
+    return jnp.take(table, idx, axis=0)
+
+
+def _take_rows_fwd(table, idx):
+    return jnp.take(table, idx, axis=0), (idx, table.shape[0])
+
+
+def _take_rows_bwd(res, g):
+    idx, t = res
+    flat_idx = idx.reshape(-1)
+    flat_g = g.reshape(-1, g.shape[-1])
+    if _use_pallas() and t % 128 == 0 and flat_g.shape[-1] == 2:
+        dtable = scatter_add_tablegrad(flat_idx, flat_g, t)
+    else:
+        dtable = jnp.zeros((t, flat_g.shape[-1]), flat_g.dtype).at[flat_idx].add(flat_g)
+    return dtable, None
+
+
+take_rows.defvjp(_take_rows_fwd, _take_rows_bwd)

@@ -106,6 +106,23 @@ class TestHashGrid:
         gt = jax.grad(table_loss)(table)
         assert np.isfinite(np.array(gt)).all()
 
+    def test_encode_with_dx_matches_ad(self):
+        """Analytic encode derivative == autodiff jacobian (both interps)."""
+        for smooth in (False, True):
+            enc = self._enc(smoothstep=smooth)
+            table = enc.init(jax.random.PRNGKey(0)) * 1e4
+            x = jax.random.uniform(
+                jax.random.PRNGKey(5), (8, 3), minval=0.05, maxval=0.95
+            )
+            out, dout = enc.encode_with_dx(table, x, custom_take=False)
+            out_ref = enc(table, x)
+            assert np.allclose(np.asarray(out), np.asarray(out_ref), atol=1e-4)
+            jac = jax.vmap(jax.jacfwd(lambda p: enc(table, p[None])[0]))(x)
+            # jac: [N, L*F, 3]; dout: [N, 3, L*F]
+            assert np.allclose(
+                np.asarray(dout), np.asarray(jac).transpose(0, 2, 1), atol=1e-2
+            ), f"smoothstep={smooth}"
+
     def test_finite_diff_position_grad(self):
         enc = self._enc(smoothstep=True)
         table = enc.init(jax.random.PRNGKey(0)) * 1e4
