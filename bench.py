@@ -24,6 +24,12 @@ A100_BASELINE_RAYS_PER_SEC = 2800.0
 
 
 def main():
+    import os
+
+    # persistent compile cache: full-scale executables take minutes to build
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "10")
+
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -78,28 +84,60 @@ def main():
 
     # rays per joint step (reference semantics)
     s = pipe.visibility_train_sampler
-    rays_per_step = (
+    n_scene = (
         batch["ray_bundle"].origins.shape[0]
-        + s.num_samples_on_sphere * s.num_rays_per_sample
-        + batch["sky_ray_bundle"].origins.shape[0]
+        if "ray_bundle" in batch
+        else batch["pixel_coords"].shape[0]
+    )
+    n_sky = (
+        batch["sky_ray_bundle"].origins.shape[0]
+        if "sky_ray_bundle" in batch
+        else batch["sky_cam_idx"].shape[0]
+    )
+    rays_per_step = (
+        n_scene + s.num_samples_on_sphere * s.num_rays_per_sample + n_sky
     )
 
-    # warmup / compile
-    params, opt_state, aux = step_fn(
-        params, opt_state, batch, rng, jnp.asarray(0.0)
-    )
+    # warmup / compile: 3 steps — step 0 compiles, step 1 must NOT recompile
+    # (apply's outputs are layout-pinned to its inputs; a recompile here
+    # would mean the layout fixed point regressed — see parallel/mesh.py)
+    for w in range(3):
+        params, opt_state, aux = step_fn(
+            params, opt_state, batch, rng, jnp.asarray(float(w))
+        )
     jax.block_until_ready(aux["total_loss"])
 
-    n_steps = 20
+    import os
+    import sys
+
+    trace_dir = None
+    if "--trace" in sys.argv:
+        trace_dir = os.environ.get("NEUSKY_TRACE_DIR", "/tmp/jtrace")
+        jax.profiler.start_trace(trace_dir)
+
+    n_steps = 3 if trace_dir else int(os.environ.get("NEUSKY_BENCH_STEPS", "20"))
+    per_step = os.environ.get("NEUSKY_BENCH_VERBOSE", "") != ""
     t0 = time.perf_counter()
     for i in range(n_steps):
+        ts = time.perf_counter()
         batch = dm.next_train(i)
+        tb = time.perf_counter()
         rng, k = jax.random.split(rng)
         params, opt_state, aux = step_fn(
             params, opt_state, batch, k, jnp.asarray(float(i + 1))
         )
+        if per_step:
+            jax.block_until_ready(aux["total_loss"])
+            print(
+                f"step {i}: batch {tb - ts:.3f}s  step {time.perf_counter() - tb:.3f}s",
+                file=sys.stderr,
+            )
     jax.block_until_ready(aux["total_loss"])
     dt = time.perf_counter() - t0
+
+    if trace_dir:
+        jax.profiler.stop_trace()
+        print(f"trace written to {trace_dir}", file=sys.stderr)
 
     rays_per_sec = rays_per_step * n_steps / dt
     print(

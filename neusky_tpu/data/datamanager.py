@@ -74,7 +74,10 @@ class DataManager:
         batch = self.train_sampler.sample_batch()
         sky = self.train_sampler.sample_sky_rays(self.config.num_sky_rays)
         if sky is not None:
-            batch["sky_ray_bundle"] = sky
+            if isinstance(sky, tuple):  # device_rays: host (cam_idx, coords)
+                batch["sky_cam_idx"], batch["sky_pixel_coords"] = sky
+            else:
+                batch["sky_ray_bundle"] = sky
         return batch
 
     def eval_image_bundle(self, image_idx: int) -> Tuple[RayBundle, Dict]:

@@ -36,6 +36,12 @@ from neusky_tpu.core.rays import RayBundle
 class PixelSamplerConfig:
     images_per_batch: int = 16
     rays_per_image: int = 64  # batch = images_per_batch * rays_per_image
+    device_rays: bool = True
+    """True → batches carry host numpy ``cam_idx``/``pixel_coords`` and the
+    ray bundle is generated *inside* the jitted train step (zero per-step
+    eager device dispatch — on the axon tunnel each eager jnp op is a
+    blocking round trip).  False → legacy behaviour: materialise the
+    RayBundle eagerly at batch-assembly time."""
 
 
 class PixelSampler:
@@ -87,27 +93,42 @@ class PixelSampler:
     # ------------------------------------------------------------------
 
     def _pixels_to_batch(self, image_rows: np.ndarray, flat_pixels: np.ndarray) -> Dict:
-        """image_rows [U], flat_pixels [U, R] → device batch dict."""
+        """image_rows [U], flat_pixels [U, R] → batch dict.
+
+        ``device_rays=True`` (default): everything stays host numpy; the
+        consumer (``scene_loss_fn``) generates rays in-graph from
+        ``cam_idx``/``pixel_coords`` + the ``cameras`` pytree in the batch."""
         u, r = flat_pixels.shape
         ys = (flat_pixels // self.width).astype(np.float32) + 0.5
         xs = (flat_pixels % self.width).astype(np.float32) + 0.5
         coords = np.stack([ys, xs], axis=-1).reshape(-1, 2)  # [U*R, 2]
-        cam_idx = np.repeat(image_rows, r)
-        ray_bundle = self.cameras.generate_rays_at(
-            jnp.asarray(cam_idx), jnp.asarray(coords)
-        )
+        cam_idx = np.repeat(image_rows, r).astype(np.int32)
         flat = flat_pixels.reshape(-1)
         img = self.images.reshape(self.num_images, -1, 3)[cam_idx, flat]
         msk = self.masks.reshape(self.num_images, -1, 4)[cam_idx, flat]
-        return {
-            "ray_bundle": ray_bundle,
-            "image": jnp.asarray(img),
-            "mask": jnp.asarray(msk),
-            "image_indices": jnp.asarray(image_rows.astype(np.int32)),
-            "ray_image_idx": jnp.asarray(
-                np.repeat(np.arange(u, dtype=np.int32), r)
-            ),
+        batch = {
+            "image_indices": image_rows.astype(np.int32),
+            "ray_image_idx": np.repeat(np.arange(u, dtype=np.int32), r),
         }
+        if self.config.device_rays:
+            batch.update(
+                cam_idx=cam_idx,
+                pixel_coords=coords,
+                image=np.ascontiguousarray(img),
+                mask=np.ascontiguousarray(msk),
+                cameras=self.cameras,
+            )
+        else:
+            batch.update(
+                ray_bundle=self.cameras.generate_rays_at(
+                    jnp.asarray(cam_idx), jnp.asarray(coords)
+                ),
+                image=jnp.asarray(img),
+                mask=jnp.asarray(msk),
+                image_indices=jnp.asarray(batch["image_indices"]),
+                ray_image_idx=jnp.asarray(batch["ray_image_idx"]),
+            )
+        return batch
 
     def sample_batch(self) -> Dict:
         """Scene training batch: [U images × R rays] over static-valid pixels."""
@@ -118,9 +139,12 @@ class PixelSampler:
         flat = self.valid_idx[image_rows[:, None], cols]
         return self._pixels_to_batch(image_rows, flat)
 
-    def sample_sky_rays(self, num_rays: int) -> Optional[RayBundle]:
+    def sample_sky_rays(self, num_rays: int):
         """Sky-ray bundle (``get_sky_ray_bundle``,
-        ``neusky_datamanager.py:277-288``)."""
+        ``neusky_datamanager.py:277-288``).
+
+        ``device_rays=True`` → returns host ``(cam_idx [K], coords [K,2])``
+        for in-graph ray generation; else a materialised RayBundle."""
         if not self.has_sky:
             return None
         rows = self.rng.integers(0, self.num_images, size=num_rays)
@@ -129,6 +153,8 @@ class PixelSampler:
         ys = (flat // self.width).astype(np.float32) + 0.5
         xs = (flat % self.width).astype(np.float32) + 0.5
         coords = np.stack([ys, xs], axis=-1)
+        if self.config.device_rays:
+            return rows.astype(np.int32), coords
         return self.cameras.generate_rays_at(jnp.asarray(rows.astype(np.int32)), jnp.asarray(coords))
 
     def sample_region_batch(self, image_row: int, region: str = "full_image") -> Dict:

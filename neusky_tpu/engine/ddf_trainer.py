@@ -93,6 +93,11 @@ class DDFTrainer:
             )
             batch = dict(gt)
             if sky_ray_bundle is not None:
+                if isinstance(sky_ray_bundle, tuple):
+                    # device_rays sampler: (cameras, cam_idx, coords) →
+                    # generate the bundle in-graph
+                    cams, ci, co = sky_ray_bundle
+                    sky_ray_bundle = cams.generate_rays_at(ci, co)
                 batch["sky_ray_bundle"] = sky_ray_bundle
 
             def sdf_at_pos(p):
@@ -141,6 +146,8 @@ class DDFTrainer:
                 if self.datamanager is not None
                 else None
             )
+            if isinstance(sky, tuple):
+                sky = (self.datamanager.train_sampler.cameras, *sky)
             wrapped, self.opt_state, aux = self._step_fn(
                 wrapped, self.opt_state, k, sky
             )

@@ -98,12 +98,17 @@ class Trainer:
     # ------------------------------------------------------------------
 
     def _count_rays(self, batch) -> int:
-        n = int(batch["ray_bundle"].origins.shape[0])
+        if "ray_bundle" in batch:
+            n = int(batch["ray_bundle"].origins.shape[0])
+        else:  # device_rays batches carry host pixel coords
+            n = int(batch["pixel_coords"].shape[0])
         if self.model.config.fit_visibility_field and self.model.ddf is not None:
             s = self.pipeline_config.visibility_train_sampler
             n += s.num_samples_on_sphere * s.num_rays_per_sample
         if "sky_ray_bundle" in batch:
             n += int(batch["sky_ray_bundle"].origins.shape[0])
+        elif "sky_cam_idx" in batch:
+            n += int(batch["sky_cam_idx"].shape[0])
         return n
 
     def run(self, num_steps: Optional[int] = None, log_fn: Optional[Callable] = None):

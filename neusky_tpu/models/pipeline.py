@@ -41,6 +41,27 @@ class PipelineConfig:
     num_sky_rays: int = 256
 
 
+def batch_ray_bundle(batch: Dict[str, Any]) -> RayBundle:
+    """The batch's scene rays — materialised, or generated in-graph from
+    host (cam_idx, pixel_coords) + the cameras pytree (``device_rays``
+    batches; avoids per-step eager device dispatch on slow runtimes)."""
+    if "ray_bundle" in batch:
+        return batch["ray_bundle"]
+    return batch["cameras"].generate_rays_at(
+        batch["cam_idx"], batch["pixel_coords"]
+    )
+
+
+def batch_sky_bundle(batch: Dict[str, Any]) -> Optional[RayBundle]:
+    if "sky_ray_bundle" in batch:
+        return batch["sky_ray_bundle"]
+    if "sky_cam_idx" in batch:
+        return batch["cameras"].generate_rays_at(
+            batch["sky_cam_idx"], batch["sky_pixel_coords"]
+        )
+    return None
+
+
 def scene_loss_fn(
     model: NeuSkyModel,
     params,
@@ -52,7 +73,7 @@ def scene_loss_fn(
     outputs = model.forward(
         params,
         rng,
-        batch["ray_bundle"],
+        batch_ray_bundle(batch),
         batch["image_indices"],
         batch["ray_image_idx"],
         step=step,
@@ -88,8 +109,9 @@ def ddf_fit_loss_fn(
         stop_gradients=pipeline_config.stop_sdf_gradients,
     )
     ddf_batch = dict(gt)
-    if "sky_ray_bundle" in batch:
-        ddf_batch["sky_ray_bundle"] = batch["sky_ray_bundle"]
+    sky_bundle = batch_sky_bundle(batch)
+    if sky_bundle is not None:
+        ddf_batch["sky_ray_bundle"] = sky_bundle
 
     field_params = params["fields"]
 
@@ -171,7 +193,7 @@ def eval_latent_loss_fn(
     outputs = model.forward(
         params,
         rng,
-        batch["ray_bundle"],
+        batch_ray_bundle(batch),
         batch["image_indices"],
         batch["ray_image_idx"],
         step=step,

@@ -212,6 +212,7 @@ class HashGridEncoding:
         custom-VJP ``take_rows`` with the Pallas scatter backward
         (custom_vjp cannot be forward-mode differentiated)."""
         c = self.config
+        n = x.shape[0]
         res = jnp.asarray(self._resolutions)
         scaled = x[:, None, :] * res[None, :, None].astype(x.dtype)  # [N, L, 3]
         floor = jnp.floor(scaled)
@@ -229,7 +230,7 @@ class HashGridEncoding:
         dense_idx = cc[..., 0] + cc[..., 1] * rp1 + cc[..., 2] * rp1 * rp1
         dense_idx = jnp.minimum(dense_idx, c.table_size - 1)
         dense_mask = jnp.asarray(self._dense)[None, :, None]
-        idx = jnp.where(dense_mask, dense_idx, hashed)  # [N, L, 8]
+        idx = jnp.where(dense_mask, dense_idx, hashed).reshape(n, -1)  # [N, L*8]
 
         if c.smoothstep:
             u = frac * frac * (3.0 - 2.0 * frac)
@@ -242,20 +243,30 @@ class HashGridEncoding:
         cbits = corners[None, None, :, :]  # [1, 1, 8, 3]
         omega = jnp.where(cbits == 1, u[:, :, None, :], 1.0 - u[:, :, None, :])
         sign = jnp.where(cbits == 1, 1.0, -1.0).astype(x.dtype)
-        W = jnp.prod(omega, axis=-1)  # [N, L, 8]
-        prods = []
+        # flatten everything to [N, L*8] lanes (L=16 → exactly 128) — the
+        # trailing-8/-3 minor dims otherwise tile-pad 16-42× on TPU when any
+        # of these become backward residuals (PERF.md item 4)
+        W = jnp.prod(omega, axis=-1).reshape(n, -1)  # [N, L*8]
+        dWs = []
         for a in range(3):
             others = [b for b in range(3) if b != a]
             prod_others = omega[..., others[0]] * omega[..., others[1]]
-            prods.append(sign[..., a] * du[:, :, None, a] * prod_others)
-        dW = jnp.stack(prods, axis=-1)  # [N, L, 8, 3]
+            dWs.append((sign[..., a] * du[:, :, None, a] * prod_others).reshape(n, -1))
+        # dWs: 3 × [N, L*8]
 
         take = self._take(custom_take)
-        outs, douts = [], []
+        outs = []
+        douts = [[], [], []]
         for lvl in range(c.num_levels):
-            feats = take(table[lvl], idx[:, lvl, :])  # [N, 8, F]
-            outs.append(jnp.einsum("nc,ncf->nf", W[:, lvl], feats))
-            douts.append(jnp.einsum("nca,ncf->naf", dW[:, lvl], feats))
+            sl = slice(lvl * 8, (lvl + 1) * 8)
+            feats = take(table[lvl], idx[:, sl])  # [N, 8, F]
+            outs.append(jnp.sum(feats * W[:, sl, None], axis=1))  # [N, F]
+            for a in range(3):
+                douts[a].append(jnp.sum(feats * dWs[a][:, sl, None], axis=1))
         out = jnp.concatenate(outs, axis=-1)  # [N, L*F]
-        dout = jnp.concatenate(douts, axis=-1)  # [N, 3, L*F]
+        dout = jnp.stack(
+            [jnp.concatenate(d, axis=-1) for d in douts], axis=1
+        )  # [N, 3, L*F]
+        if c.layout_barrier:
+            out, dout = jax.lax.optimization_barrier((out, dout))
         return out, dout

@@ -61,7 +61,7 @@ def _batch_spec(batch: Dict[str, Any], mesh: Mesh, axis_name: str = "data"):
 
     def spec_for(path, leaf):
         key = "/".join(str(p) for p in path)
-        if ("image_indices" in key) or leaf.ndim == 0:
+        if ("image_indices" in key) or ("cameras" in key) or leaf.ndim == 0:
             return P()
         if leaf.shape[0] % n_dev == 0 and leaf.shape[0] >= n_dev:
             return P("data")
@@ -243,8 +243,39 @@ def make_train_step_split(
     else:
         scene_grad = jax.jit(scene_grad)
         ddf_grad = jax.jit(ddf_grad)
-        apply_updates = jax.jit(apply_updates)
-        apply_updates_single = jax.jit(apply_updates_single)
+        # Layout fixed point: with AUTO layouts, ``apply`` outputs params /
+        # opt_state in compiler-chosen layouts that can differ from what the
+        # grad executables were compiled for — the next step then MISSES the
+        # jit cache and recompiles the whole pipeline once more (measured:
+        # a one-time ~16 min, 4-executable recompile cascade at full scale
+        # on v5e).  Pinning ``apply``'s outputs to the layouts of its own
+        # inputs (= what the grad executables consumed) makes step 1's
+        # executables final.  Donation is safe: params/opt_state are not
+        # reused after ``apply``.
+        _apply_cache: Dict[str, Any] = {}
+
+        def _pinned_apply(fn, params, opt_state):
+            key = fn.__name__
+            if key not in _apply_cache:
+                try:
+                    fmt_p = jax.tree_util.tree_map(lambda x: x.format, params)
+                    fmt_o = jax.tree_util.tree_map(lambda x: x.format, opt_state)
+                    _apply_cache[key] = jax.jit(
+                        fn, out_shardings=(fmt_p, fmt_o), donate_argnums=(0, 1)
+                    )
+                except Exception:  # non-committed inputs (e.g. numpy): AUTO
+                    _apply_cache[key] = jax.jit(fn, donate_argnums=(0, 1))
+            return _apply_cache[key]
+
+        apply_updates_raw, apply_updates_single_raw = (
+            apply_updates, apply_updates_single,
+        )
+        apply_updates = lambda p, o, g1, g2: _pinned_apply(
+            apply_updates_raw, p, o
+        )(p, o, g1, g2)
+        apply_updates_single = lambda p, o, g1: _pinned_apply(
+            apply_updates_single_raw, p, o
+        )(p, o, g1)
 
     def step_fn(params, opt_state, batch, rng, step):
         k1, k2 = jax.random.split(rng)

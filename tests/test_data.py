@@ -45,10 +45,23 @@ def test_pixel_sampler_batches(scene):
     assert batch["mask"].shape == (16, 4)
     assert batch["image_indices"].shape == (2,)
     assert batch["ray_image_idx"].shape == (16,)
-    # gather consistency: ray colours match the image at the sampled pixels
-    assert np.isfinite(np.asarray(batch["ray_bundle"].origins)).all()
+    # device_rays default: host coords + cameras; bundle built in-graph
+    from neusky_tpu.models.pipeline import batch_ray_bundle
 
-    sky = ps.sample_sky_rays(8)
+    rb = batch_ray_bundle(batch)
+    assert np.isfinite(np.asarray(rb.origins)).all()
+
+    ci, co = ps.sample_sky_rays(8)
+    assert ci.shape == (8,) and co.shape == (8, 2)
+
+    # legacy eager-bundle mode
+    ps_eager = PixelSampler(
+        PixelSamplerConfig(images_per_batch=2, rays_per_image=8, device_rays=False),
+        scene["cameras"], scene["images"], scene["masks"],
+    )
+    eb = ps_eager.sample_batch()
+    assert np.isfinite(np.asarray(eb["ray_bundle"].origins)).all()
+    sky = ps_eager.sample_sky_rays(8)
     assert sky.origins.shape == (8, 3)
 
 
@@ -71,7 +84,10 @@ def test_datamanager(scene):
         scene["cameras"], scene["images"], scene["masks"],
     )
     batch = dm.next_train(0)
-    assert "sky_ray_bundle" in batch
+    assert "sky_cam_idx" in batch  # device_rays: host coords, in-graph bundle
+    from neusky_tpu.models.pipeline import batch_sky_bundle
+
+    assert batch_sky_bundle(batch).origins.shape == (8, 3)
     rb, gt = dm.eval_image_bundle(0)
     assert rb.origins.shape == (32 * 32, 3)
     assert gt["image"].shape == (32 * 32, 3)
