@@ -48,6 +48,12 @@ def main():
     from neusky_tpu.sampling.ddf_sampler import DDFSamplerConfig
 
     cfg = neusky_model_config(num_train_data=8, num_eval_data=2)
+    if os.environ.get("NEUSKY_BENCH_BF16", ""):
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, sdf_field=dataclasses.replace(cfg.sdf_field, use_bf16_compute=True)
+        )
     model = NeuSkyModel(cfg)
     pipe = PipelineConfig(
         visibility_train_sampler=DDFSamplerConfig(
@@ -71,13 +77,19 @@ def main():
     params = model.init(jax.random.PRNGKey(0))
     optimizer = build_optimizer(params, default_neusky_optimizer_groups(100001))
     opt_state = optimizer.init(params)
-    # split compilation: scene grad + DDF-fit grad + one summed update —
-    # numerically identical to the fused step (tested) with lower peak HBM;
-    # layouts pinned across executables to avoid per-call relayout copies
-    step_fn = make_train_step_split(
-        model, pipe, optimizer,
-        example_params=params, example_opt_state=opt_state,
-    )
+    if os.environ.get("NEUSKY_BENCH_FUSED", ""):
+        # one executable for the whole joint step (scene+DDF grads+update)
+        from neusky_tpu.parallel.mesh import make_train_step
+
+        step_fn = make_train_step(model, pipe, optimizer)
+    else:
+        # split compilation: scene grad + DDF-fit grad + one summed update —
+        # numerically identical to the fused step (tested) with lower peak
+        # HBM; apply's output layouts pinned to its inputs (mesh.py)
+        step_fn = make_train_step_split(
+            model, pipe, optimizer,
+            example_params=params, example_opt_state=opt_state,
+        )
 
     rng = jax.random.PRNGKey(1)
     batch = dm.next_train(0)

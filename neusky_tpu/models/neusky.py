@@ -127,7 +127,12 @@ class NeuSkyModelConfig:
     eval_latent_optimise_method: str = "per_image"
     optimise_compare_eval_scale: bool = False
     mask_to_building_in_metrics: bool = False
-    visibility_query_chunk: int = 8192  # DDF queries per remat chunk
+    visibility_query_chunk: int = 32768  # DDF queries per remat chunk
+    sdf_query_chunk: int = 0
+    """Chunk for the sdf-at-termination query; 0 → single call.  Unlike the
+    N·D DDF queries, the strided-subset SDF query is small (N×subset) and
+    chunking it re-stages every hash-table level into VMEM per chunk
+    iteration (trace-observed) — unchunked it stages once."""
     cos_anneal_ratio: float = 1.0
     sdf_level_set_subset: int = 64
     """Directions per ray for the sdf-at-termination query feeding
@@ -454,11 +459,11 @@ class NeuSkyModel:
             def sdf_query(p):
                 return self.field.apply(field_params, p, method=self.field.sdf_only)
 
-            if self._dirs_sharded:
+            if self._dirs_sharded or not c.sdf_query_chunk:
                 sdf_at_term = sdf_query(term_points)
             else:
                 sdf_at_term = _chunked_apply(
-                    sdf_query, (term_points,), self.config.visibility_query_chunk
+                    sdf_query, (term_points,), c.sdf_query_chunk
                 )
             result["sdf_at_termination"] = sdf_at_term
         return result

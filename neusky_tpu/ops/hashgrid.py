@@ -4,20 +4,25 @@ Replaces the reference's dependency on tiny-cuda-nn (``tcnn.Encoding`` with
 ``otype=HashGrid``, ``sdf_albedo_field.py:119-130`` and
 ``directional_distance_field.py:146-175``).
 
-Design notes (TPU):
-  - The encode is expressed as 8 XLA gathers per level from a ``[L, T, F]``
-    table plus d-linear interpolation; XLA lowers the backward pass to
-    scatter-adds into the table.  Both the forward and the VJP are themselves
-    differentiable, which the eikonal loss needs (grad-of-grad through the
-    encoding, reference ``sdf_albedo_field.py:231-238``).
-  - Corner gathers for all levels are batched into a single gather of shape
-    ``[N, L*8]`` from a flattened ``[L*T, F]`` table so XLA emits one fused
-    gather kernel instead of 16.
+Design notes (TPU, all trace-driven — see PERF.md):
+  - **Transposed, pad-free data flow.**  Corner indices and interpolation
+    weights are computed as ``[L, 8, N]`` (minor dim = N) and the gather is
+    ``take(table[l] [F, T], idx_l [8, N], axis=1) → [F, 8, N]``.  Every
+    intermediate has a lane dimension of N — nothing tile-pads.  The first
+    design sliced ``[N, L*8]`` arrays into per-level ``[N, 8]`` operands;
+    minor-8 buffers tile-pad 16× on TPU and the async slice/copy traffic of
+    those residuals dominated the training step.
+  - Table storage is ``[L, F, T]`` — XLA lays this out with a (2, 128)
+    tile over (F, T), no padding, and per-level slices stage cleanly into
+    VMEM for the gathers.
   - Smoothstep interpolation (``tcnn "Smoothstep"``) is supported; unlike
-    trilinear it has non-vanishing second derivatives, which benefits
-    curvature-style losses.
-  - A Pallas fused kernel (hash lookup + interp) lives in
-    ``neusky_tpu.ops.hashgrid_pallas`` and is used when enabled.
+    trilinear it has non-vanishing second derivatives.
+  - The table-gradient scatter runs through a Pallas lane-ownership kernel
+    (``ops/hashgrid_pallas.py``, 7.3× over XLA's serialized scatter) wired
+    in via the custom-VJP ``take_level``; since custom_vjp cannot be
+    forward-mode differentiated, ``encode_with_dx`` provides closed-form
+    position derivatives so SDF spatial gradients never JVP through the
+    gather.
 
 The hash function matches Instant-NGP: xor of coordinates times the primes
 (1, 2654435761, 805459861), masked to the table size.  Levels whose dense
@@ -77,7 +82,7 @@ class HashGridEncoding:
     """Functional hash-grid: ``init(rng) -> table``, ``__call__(table, x)``.
 
     ``x`` must live in [0, 1]^3 (callers contract/normalise first).
-    Table shape: [num_levels, table_size, features_per_level].
+    Table shape: [num_levels, features_per_level, table_size].
     """
 
     def __init__(self, config: HashGridConfig):
@@ -91,7 +96,7 @@ class HashGridEncoding:
                 for r in res
             ]
         )
-        # Precompute the 8 corner offsets.
+        # The 8 corner offsets.
         self._corners = np.array(
             [[i, j, k] for i in (0, 1) for j in (0, 1) for k in (0, 1)],
             dtype=np.int32,
@@ -102,91 +107,92 @@ class HashGridEncoding:
         return self.config.out_dim
 
     def init(self, rng: jax.Array, dtype=jnp.float32) -> jnp.ndarray:
-        """tcnn-style init: uniform in [-1e-4, 1e-4].
-
-        Shape [L, T, F].  (A flat [L, T·F] storage variant was tried to
-        avoid [T, 2] tile padding at rest; the in-kernel reshape then costs
-        per-call relayouts and measured 2.5× slower end-to-end on the axon
-        runtime — the padded-at-rest layout is the lesser evil for the
-        split-step path.)"""
+        """tcnn-style init: uniform in [-1e-4, 1e-4].  Shape [L, F, T]
+        (minor T tiles (F=2,128)-clean; see module docstring)."""
         c = self.config
         return jax.random.uniform(
             rng,
-            (c.num_levels, c.table_size, c.features_per_level),
+            (c.num_levels, c.features_per_level, c.table_size),
             dtype=dtype,
             minval=-1e-4,
             maxval=1e-4,
         )
 
-    def _level_indices(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """Compute corner table indices and interp weights for all levels.
+    def _indices_weights_t(self, x: jnp.ndarray):
+        """Transposed corner indices / interp weights / weight-derivatives.
 
-        x: [N, 3] in [0,1].  Returns (per-level indices [N, L, 8] int32 in
-        [0, table_size), weights [N, L, 8]).
+        x: [N, 3] in [0,1] → (idx [L, 8, N] int32, W [L, 8, N],
+        dW [3, L, 8, N]).  Minor dim is N everywhere — no tile padding.
         """
         c = self.config
+        xt = x.T  # [3, N]
         res = jnp.asarray(self._resolutions)  # [L]
-        scaled = x[:, None, :] * res[None, :, None].astype(x.dtype)  # [N, L, 3]
+        resf = res.astype(x.dtype)
+        scaled = xt[None, :, :] * resf[:, None, None]  # [L, 3, N]
         floor = jnp.floor(scaled)
-        frac = scaled - floor  # [N, L, 3]
-        base = floor.astype(jnp.int32)  # [N, L, 3]
+        frac = scaled - floor  # [L, 3, N]
+        base = floor.astype(jnp.int32)
 
         corners = jnp.asarray(self._corners)  # [8, 3]
-        coords = base[:, :, None, :] + corners[None, None, :, :]  # [N, L, 8, 3]
+        coords = base[:, None, :, :] + corners[None, :, :, None]  # [L, 8, 3, N]
 
-        # hashed index
         p = jnp.asarray(_PRIMES, dtype=jnp.uint32)
         cu = coords.astype(jnp.uint32)
-        hashed = (cu[..., 0] * p[0]) ^ (cu[..., 1] * p[1]) ^ (cu[..., 2] * p[2])
-        hashed = (hashed & jnp.uint32(c.table_size - 1)).astype(jnp.int32)
+        hashed = (cu[:, :, 0] * p[0]) ^ (cu[:, :, 1] * p[1]) ^ (cu[:, :, 2] * p[2])
+        hashed = (hashed & jnp.uint32(c.table_size - 1)).astype(jnp.int32)  # [L, 8, N]
 
-        # dense index for small levels: x + y*(R+1) + z*(R+1)^2, clipped
-        rp1 = (res + 1)[None, :, None]  # [1, L, 1]
-        cc = jnp.minimum(coords, rp1[..., None] - 1)
-        dense_idx = cc[..., 0] + cc[..., 1] * rp1 + cc[..., 2] * rp1 * rp1
-        dense_idx = jnp.minimum(dense_idx, c.table_size - 1)
+        rp1 = (res + 1)[:, None, None]  # [L, 1, 1]
+        # clip each coordinate to its level's grid extent: [L,1,1,1]→[L,8,3,N]
+        cc = jnp.minimum(coords, (rp1 - 1)[:, :, None, :])
+        dense_idx = cc[:, :, 0] + cc[:, :, 1] * rp1 + cc[:, :, 2] * rp1 * rp1
+        dense_idx = jnp.minimum(dense_idx, c.table_size - 1)  # [L, 8, N]
 
-        dense_mask = jnp.asarray(self._dense)[None, :, None]  # [1, L, 1]
-        idx = jnp.where(dense_mask, dense_idx, hashed)  # [N, L, 8]
+        dense_mask = jnp.asarray(self._dense)[:, None, None]  # [L, 1, 1]
+        idx = jnp.where(dense_mask, dense_idx, hashed)  # [L, 8, N]
 
-        # interpolation weights
         if c.smoothstep:
-            frac = frac * frac * (3.0 - 2.0 * frac)
-        w = jnp.where(corners[None, None, :, :] == 1, frac[:, :, None, :], 1.0 - frac[:, :, None, :])
-        weights = jnp.prod(w, axis=-1)  # [N, L, 8]
-        # flatten to [N, L*8]: a trailing dim of 8 tile-pads 16× on TPU and
-        # these arrays are saved as backward residuals (observed 1.05 GB
-        # padded buffers in compiler OOM reports); L*8 lanes tile cleanly
-        n = x.shape[0]
-        return idx.reshape(n, -1), weights.reshape(n, -1)
+            u = frac * frac * (3.0 - 2.0 * frac)
+            du = 6.0 * frac * (1.0 - frac)
+        else:
+            u = frac
+            du = jnp.ones_like(frac)
+        du = du * resf[:, None, None]  # chain rule: frac = x·res
+
+        # omega[l, c, a, n] = u if corner bit a of c else 1-u
+        cb = corners[None, :, :, None]  # [1, 8, 3, 1]
+        omega = jnp.where(cb == 1, u[:, None, :, :], 1.0 - u[:, None, :, :])  # [L,8,3,N]
+        sign = jnp.where(cb == 1, 1.0, -1.0).astype(x.dtype)  # [1, 8, 3, 1]
+        W = jnp.prod(omega, axis=2)  # [L, 8, N]
+        dWs = []
+        for a in range(3):
+            others = [b for b in range(3) if b != a]
+            prod_others = omega[:, :, others[0], :] * omega[:, :, others[1], :]
+            dWs.append(
+                sign[:, :, a, :] * du[:, None, a, :] * prod_others
+            )  # [L, 8, N]
+        dW = jnp.stack(dWs, axis=0)  # [3, L, 8, N]
+        return idx, W, dW
+
+    def _assemble(self, per_level, n):
+        """per_level: list of L arrays [F, N] → [N, L*F] (feature-within-
+        level ordering, matching tcnn's concat of per-level features)."""
+        stacked = jnp.stack(per_level, axis=0)  # [L, F, N]
+        return stacked.transpose(2, 0, 1).reshape(n, -1)  # [N, L*F]
 
     def __call__(
         self, table: jnp.ndarray, x: jnp.ndarray, custom_take: bool = False
     ) -> jnp.ndarray:
-        """Encode positions. x: [N, 3] in [0,1] → [N, L*F].
-
-        Per-level gathers (not one flat batched gather): on TPU the flat
-        variant makes XLA assign a transposed {0,1}-layout to the table and
-        the backward scatter-add then runs ~4000× slower (observed 636 ms
-        vs sub-ms for a naturally-laid-out scatter).  Per-level [T, F]
-        gathers keep the natural layout on both the gather and its
-        transpose scatter.
-
-        ``custom_take=True`` routes gathers through the Pallas-backed
-        ``take_rows`` (7.3× faster table backward) — only valid in contexts
-        never forward-mode differentiated (custom_vjp restriction); JVP
-        paths use :meth:`encode_with_dx` instead."""
+        """Encode positions. x: [N, 3] in [0,1] → [N, L*F]."""
         c = self.config
         n = x.shape[0]
-        idx, weights = self._level_indices(x)  # [N, L*8] each
-        w = weights.astype(table.dtype)
+        idx, W, _ = self._indices_weights_t(x)
+        w = W.astype(table.dtype)
         take = self._take(custom_take)
         outs = []
         for lvl in range(c.num_levels):
-            sl = slice(lvl * 8, (lvl + 1) * 8)
-            feats = take(table[lvl], idx[:, sl])  # [N, 8, F]
-            outs.append(jnp.sum(feats * w[:, sl, None], axis=1))  # [N, F]
-        out = jnp.concatenate(outs, axis=-1)
+            feats = take(table[lvl], idx[lvl])  # [F, 8, N]
+            outs.append(jnp.einsum("cn,fcn->fn", w[lvl], feats))  # [F, N]
+        out = self._assemble(outs, n)
         if c.layout_barrier:
             out = jax.lax.optimization_barrier(out)
         return out
@@ -194,10 +200,10 @@ class HashGridEncoding:
     @staticmethod
     def _take(custom: bool):
         if custom:
-            from neusky_tpu.ops.hashgrid_pallas import take_rows
+            from neusky_tpu.ops.hashgrid_pallas import take_level
 
-            return take_rows
-        return lambda t, i: jnp.take(t, i, axis=0)
+            return take_level
+        return lambda t2, i: jnp.take(t2, i, axis=1)
 
     def encode_with_dx(
         self, table: jnp.ndarray, x: jnp.ndarray, custom_take: bool = True
@@ -209,63 +215,24 @@ class HashGridEncoding:
         The derivative is closed-form from the interpolation weights
         (∂W_c/∂x_a = ±u'_a · Π_{b≠a} ω_b), so the SDF's spatial gradient
         never needs AD *through* the gather — which lets the gather be the
-        custom-VJP ``take_rows`` with the Pallas scatter backward
+        custom-VJP ``take_level`` with the Pallas scatter backward
         (custom_vjp cannot be forward-mode differentiated)."""
         c = self.config
         n = x.shape[0]
-        res = jnp.asarray(self._resolutions)
-        scaled = x[:, None, :] * res[None, :, None].astype(x.dtype)  # [N, L, 3]
-        floor = jnp.floor(scaled)
-        frac = scaled - floor
-        base = floor.astype(jnp.int32)
-
-        corners = jnp.asarray(self._corners)
-        coords = base[:, :, None, :] + corners[None, None, :, :]
-        p = jnp.asarray(_PRIMES, dtype=jnp.uint32)
-        cu = coords.astype(jnp.uint32)
-        hashed = (cu[..., 0] * p[0]) ^ (cu[..., 1] * p[1]) ^ (cu[..., 2] * p[2])
-        hashed = (hashed & jnp.uint32(c.table_size - 1)).astype(jnp.int32)
-        rp1 = (res + 1)[None, :, None]
-        cc = jnp.minimum(coords, rp1[..., None] - 1)
-        dense_idx = cc[..., 0] + cc[..., 1] * rp1 + cc[..., 2] * rp1 * rp1
-        dense_idx = jnp.minimum(dense_idx, c.table_size - 1)
-        dense_mask = jnp.asarray(self._dense)[None, :, None]
-        idx = jnp.where(dense_mask, dense_idx, hashed).reshape(n, -1)  # [N, L*8]
-
-        if c.smoothstep:
-            u = frac * frac * (3.0 - 2.0 * frac)
-            du = 6.0 * frac * (1.0 - frac)
-        else:
-            u = frac
-            du = jnp.ones_like(frac)
-        du = du * res[None, :, None].astype(x.dtype)  # chain rule: frac = x·res
-
-        cbits = corners[None, None, :, :]  # [1, 1, 8, 3]
-        omega = jnp.where(cbits == 1, u[:, :, None, :], 1.0 - u[:, :, None, :])
-        sign = jnp.where(cbits == 1, 1.0, -1.0).astype(x.dtype)
-        # flatten everything to [N, L*8] lanes (L=16 → exactly 128) — the
-        # trailing-8/-3 minor dims otherwise tile-pad 16-42× on TPU when any
-        # of these become backward residuals (PERF.md item 4)
-        W = jnp.prod(omega, axis=-1).reshape(n, -1)  # [N, L*8]
-        dWs = []
-        for a in range(3):
-            others = [b for b in range(3) if b != a]
-            prod_others = omega[..., others[0]] * omega[..., others[1]]
-            dWs.append((sign[..., a] * du[:, :, None, a] * prod_others).reshape(n, -1))
-        # dWs: 3 × [N, L*8]
-
+        idx, W, dW = self._indices_weights_t(x)
+        w = W.astype(table.dtype)
+        dw = dW.astype(table.dtype)
         take = self._take(custom_take)
         outs = []
         douts = [[], [], []]
         for lvl in range(c.num_levels):
-            sl = slice(lvl * 8, (lvl + 1) * 8)
-            feats = take(table[lvl], idx[:, sl])  # [N, 8, F]
-            outs.append(jnp.sum(feats * W[:, sl, None], axis=1))  # [N, F]
+            feats = take(table[lvl], idx[lvl])  # [F, 8, N]
+            outs.append(jnp.einsum("cn,fcn->fn", w[lvl], feats))
             for a in range(3):
-                douts[a].append(jnp.sum(feats * dWs[a][:, sl, None], axis=1))
-        out = jnp.concatenate(outs, axis=-1)  # [N, L*F]
+                douts[a].append(jnp.einsum("cn,fcn->fn", dw[a, lvl], feats))
+        out = self._assemble(outs, n)  # [N, L*F]
         dout = jnp.stack(
-            [jnp.concatenate(d, axis=-1) for d in douts], axis=1
+            [self._assemble(d, n) for d in douts], axis=1
         )  # [N, 3, L*F]
         if c.layout_barrier:
             out, dout = jax.lax.optimization_barrier((out, dout))

@@ -172,3 +172,90 @@ def _take_rows_bwd(res, g):
 
 
 take_rows.defvjp(_take_rows_fwd, _take_rows_bwd)
+
+
+# ---------------------------------------------------------------------------
+# transposed-layout gather: table [F, T], idx [..., N] → [F, ..., N]
+
+
+@jax.custom_vjp
+def take_level(t2: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """One hash level's gather in the pad-free transposed layout.
+
+    t2: [F=2, T] (one level of the [L, F, T] table); idx: [8, N] int32 →
+    [F, 8, N].  Every operand/result has minor dim N or T — nothing
+    tile-pads.  The VJP's table gradient is the lane-ownership Pallas
+    scatter (``scatter_add_tablegrad``), emitted as the matching [F, T]
+    planes.  Same forward-mode caveat as ``take_rows``."""
+    return jnp.take(t2, idx, axis=1)
+
+
+def _take_level_fwd(t2, idx):
+    return jnp.take(t2, idx, axis=1), (idx, t2.shape)
+
+
+def _take_level_bwd(res, g):
+    idx, shape = res
+    f, t = shape
+    flat_idx = idx.reshape(-1)  # [M]
+    gf = g.reshape(f, -1)  # [F, M]
+    if _use_pallas() and t % 128 == 0 and f == 2:
+        dtable = scatter_add_tablegrad_t(flat_idx, gf, t)  # [2, T]
+    else:
+        dtable = (
+            jnp.zeros((t, f), gf.dtype).at[flat_idx].add(gf.T).T
+        )  # [F, T]
+    return dtable, None
+
+
+take_level.defvjp(_take_level_fwd, _take_level_bwd)
+
+
+def scatter_add_tablegrad_t(
+    idx: jnp.ndarray, updates_ft: jnp.ndarray, table_size: int, interpret: bool = False
+) -> jnp.ndarray:
+    """Σ-scatter in transposed layout: updates [F=2, M] at rows ``idx`` [M]
+    into a [2, T] gradient table (planes emitted directly — no transposes).
+    """
+    assert table_size % 128 == 0
+    m = idx.shape[0]
+    blocks = -(-m // _BLOCK)
+    pad = blocks * _BLOCK - m
+    if pad:
+        idx = jnp.concatenate([idx, jnp.zeros((pad,), idx.dtype)])
+        updates_ft = jnp.concatenate(
+            [updates_ft, jnp.zeros((2, pad), updates_ft.dtype)], axis=1
+        )
+
+    idx2 = idx.reshape(1, -1)
+    v0 = updates_ft[0].reshape(1, -1)
+    v1 = updates_ft[1].reshape(1, -1)
+    rows = table_size // 128
+
+    if not _HAS_PLTPU:  # pragma: no cover
+        raise RuntimeError("pallas tpu backend unavailable")
+    scratch = [
+        pltpu.VMEM((rows, 128), jnp.float32),
+        pltpu.VMEM((rows, 128), jnp.float32),
+    ]
+
+    out0, out1 = pl.pallas_call(
+        _scatter_kernel,
+        grid=(blocks,),
+        in_specs=[
+            pl.BlockSpec((1, _BLOCK), lambda i: (0, i), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, _BLOCK), lambda i: (0, i), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, _BLOCK), lambda i: (0, i), memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((rows, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((rows, 128), jnp.float32),
+            jax.ShapeDtypeStruct((rows, 128), jnp.float32),
+        ],
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(idx2, v0, v1)
+    return jnp.stack([out0.reshape(-1), out1.reshape(-1)], axis=0)  # [2, T]

@@ -51,8 +51,8 @@ class TestHashGrid:
         # level 0 is dense with res 4; position exactly at vertex (1,2,3)/4
         x = jnp.array([[1.0 / 4, 2.0 / 4, 3.0 / 4]])
         out = enc(table, x)
-        # dense index at level 0: 1 + 2*5 + 3*25 = 86
-        expected = table[0, 86]
+        # dense index at level 0: 1 + 2*5 + 3*25 = 86 ([L, F, T] storage)
+        expected = table[0, :, 86]
         assert np.allclose(out[0, :2], expected, atol=1e-6)
 
     def test_continuity(self):
