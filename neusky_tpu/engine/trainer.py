@@ -44,11 +44,12 @@ class TrainerConfig:
     mixed_precision: bool = False
     output_dir: str = "outputs/run"
     seed: int = 42
-    use_split_step: bool = True
+    use_split_step: bool = False
     """Compile the joint step as 3 executables (scene grad / DDF grad /
     update) instead of one fused graph — numerically identical, lower peak
-    HBM, far smaller compile units (the fused full-size graph OOMs a 16 GB
-    chip and previously crashed the TPU compiler)."""
+    HBM.  Since the pad-free [L,F,T] table layout the fused graph fits a
+    16 GB chip and runs ~8% faster (0.78 vs 0.85 s/step on v5e), so fused
+    is the default; flip this on if a larger config OOMs."""
 
 
 class Trainer:

@@ -191,7 +191,10 @@ class HashGridEncoding:
         outs = []
         for lvl in range(c.num_levels):
             feats = take(table[lvl], idx[lvl])  # [F, 8, N]
-            outs.append(jnp.einsum("cn,fcn->fn", w[lvl], feats))  # [F, N]
+            # mul + sublane reduction, NOT einsum: XLA lowers the einsum to a
+            # dot_general whose operands transpose to [N, 8]-minor layouts —
+            # 16× tile-padded buffers, trace-observed ~3 s/step of DMA
+            outs.append(jnp.sum(w[lvl][None] * feats, axis=1))  # [F, N]
         out = self._assemble(outs, n)
         if c.layout_barrier:
             out = jax.lax.optimization_barrier(out)
@@ -227,9 +230,10 @@ class HashGridEncoding:
         douts = [[], [], []]
         for lvl in range(c.num_levels):
             feats = take(table[lvl], idx[lvl])  # [F, 8, N]
-            outs.append(jnp.einsum("cn,fcn->fn", w[lvl], feats))
+            # mul + sublane reduce (see __call__) — keeps [8, N] orientation
+            outs.append(jnp.sum(w[lvl][None] * feats, axis=1))
             for a in range(3):
-                douts[a].append(jnp.einsum("cn,fcn->fn", dw[a, lvl], feats))
+                douts[a].append(jnp.sum(dw[a, lvl][None] * feats, axis=1))
         out = self._assemble(outs, n)  # [N, L*F]
         dout = jnp.stack(
             [self._assemble(d, n) for d in douts], axis=1

@@ -44,33 +44,46 @@ except Exception:  # pragma: no cover
 _BLOCK = 1024  # updates per grid step (SMEM-resident: 3 × 4 KB per block)
 
 
-def _scatter_kernel(idx_ref, val0_ref, val1_ref, out0_ref, out1_ref, acc0, acc1):
-    """Grid step: accumulate one block of updates into the VMEM planes."""
+def _scatter_kernel(
+    idx_ref, val0_ref, val1_ref, out0_ref, out1_ref, acc0a, acc1a, acc0b, acc1b
+):
+    """Grid step: accumulate one block of updates into the VMEM planes.
+
+    Two independent accumulator chains (a/b take alternate updates): the
+    serial row read-modify-write is VMEM-latency-bound (~10 cycles/row);
+    splitting the dependency chain overlaps the RMWs.  Chains merge on the
+    final grid step."""
     step = pl.program_id(0)
     num_steps = pl.num_programs(0)
 
     @pl.when(step == 0)
     def _init():
-        acc0[:] = jnp.zeros_like(acc0)
-        acc1[:] = jnp.zeros_like(acc1)
+        acc0a[:] = jnp.zeros_like(acc0a)
+        acc1a[:] = jnp.zeros_like(acc1a)
+        acc0b[:] = jnp.zeros_like(acc0b)
+        acc1b[:] = jnp.zeros_like(acc1b)
 
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
 
     def body(j, _):
-        i = idx_ref[0, j]
-        q = i >> 7
-        r = i & 127
-        onehot = (lane_iota == r).astype(acc0.dtype)  # [1, 128]
-        acc0[pl.ds(q, 1), :] += onehot * val0_ref[0, j]
-        acc1[pl.ds(q, 1), :] += onehot * val1_ref[0, j]
+        ia = idx_ref[0, 2 * j]
+        ib = idx_ref[0, 2 * j + 1]
+        qa, ra = ia >> 7, ia & 127
+        qb, rb = ib >> 7, ib & 127
+        oha = (lane_iota == ra).astype(acc0a.dtype)  # [1, 128]
+        ohb = (lane_iota == rb).astype(acc0a.dtype)
+        acc0a[pl.ds(qa, 1), :] += oha * val0_ref[0, 2 * j]
+        acc0b[pl.ds(qb, 1), :] += ohb * val0_ref[0, 2 * j + 1]
+        acc1a[pl.ds(qa, 1), :] += oha * val1_ref[0, 2 * j]
+        acc1b[pl.ds(qb, 1), :] += ohb * val1_ref[0, 2 * j + 1]
         return 0
 
-    jax.lax.fori_loop(0, idx_ref.shape[1], body, 0)
+    jax.lax.fori_loop(0, idx_ref.shape[1] // 2, body, 0)
 
     @pl.when(step == num_steps - 1)
     def _emit():
-        out0_ref[:] = acc0[:]
-        out1_ref[:] = acc1[:]
+        out0_ref[:] = acc0a[:] + acc0b[:]
+        out1_ref[:] = acc1a[:] + acc1b[:]
 
 
 def scatter_add_tablegrad(
@@ -95,10 +108,7 @@ def scatter_add_tablegrad(
 
     kwargs = {}
     if _HAS_PLTPU:
-        scratch = [
-            pltpu.VMEM((rows, 128), jnp.float32),
-            pltpu.VMEM((rows, 128), jnp.float32),
-        ]
+        scratch = [pltpu.VMEM((rows, 128), jnp.float32) for _ in range(4)]
         # per-element scalar reads need SMEM (VMEM loads must be lane-aligned)
         in_spec_mem = pltpu.SMEM
     else:  # pragma: no cover
@@ -234,10 +244,7 @@ def scatter_add_tablegrad_t(
 
     if not _HAS_PLTPU:  # pragma: no cover
         raise RuntimeError("pallas tpu backend unavailable")
-    scratch = [
-        pltpu.VMEM((rows, 128), jnp.float32),
-        pltpu.VMEM((rows, 128), jnp.float32),
-    ]
+    scratch = [pltpu.VMEM((rows, 128), jnp.float32) for _ in range(4)]
 
     out0, out1 = pl.pallas_call(
         _scatter_kernel,
