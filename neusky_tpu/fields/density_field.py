@@ -35,6 +35,11 @@ class DensityFieldConfig:
         base_res=16, max_res=128,
     )
     contraction_order: str = "l2"  # "l2" | "linf" (neusky uses L2)
+    stochastic_table_grad: bool = True
+    """Stochastic-corner hash-table gradient (exact forward, one sampled
+    scatter row per sample/level instead of 8 — unbiased, 8× less scatter
+    work; proposal-field positions are stop-gradient bins so the zero
+    w-cotangent is exact).  Active only when the caller passes an rng."""
 
 
 class HashMLPDensityField(nn.Module):
@@ -51,12 +56,15 @@ class HashMLPDensityField(nn.Module):
         layers.append(nn.Dense(1, name="dense_out"))
         self.layers = layers
 
-    def __call__(self, positions: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, positions: jnp.ndarray, rng=None) -> jnp.ndarray:
         shape = positions.shape[:-1]
         x = positions.reshape(-1, 3)
         x = contraction_to_unit_cube(x, self.config.contraction_order)
+        stoch_u = None
+        if rng is not None and self.config.stochastic_table_grad:
+            stoch_u = jax.random.uniform(rng, (x.shape[0],))
         # reverse-only context → Pallas-backed table gather (fast backward)
-        h = self.encoding(self.table, x, custom_take=True)
+        h = self.encoding(self.table, x, custom_take=True, stoch_u=stoch_u)
         for layer in self.layers[:-1]:
             h = nn.relu(layer(h))
         out = self.layers[-1](h)

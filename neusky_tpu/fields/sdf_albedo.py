@@ -266,15 +266,14 @@ class SDFAlbedoField(nn.Module):
         if self.config.gradient_mode == "forward":
             if self.config.use_grid_feature:
                 return self._geo_with_grad_analytic(positions)
-            sdf, geo_feat = self.geo(positions)
+            def geo_fn(p):
+                return self.geo(p)
 
-            def sdf_fn(p):
-                return self.geo(p)[0]
-
+            (sdf, geo_feat), geo_jvp = jax.linearize(geo_fn, positions)
             cols = []
             for axis in range(3):
                 tangent = jnp.zeros_like(positions).at[:, axis].set(1.0)
-                _, dsdf = jax.jvp(sdf_fn, (positions,), (tangent,))
+                dsdf = geo_jvp(tangent)[0]
                 cols.append(dsdf[..., 0])
             gradients = jnp.stack(cols, axis=-1)
             return sdf, geo_feat, gradients
@@ -332,15 +331,16 @@ class SDFAlbedoField(nn.Module):
         parts.append(feats)
         h = jnp.concatenate(parts, axis=-1)
 
+        # one primal pass + one linearisation, applied to all 3 basis
+        # tangents (jax.jvp per axis would recompute the primal 3×)
+        hidden, mlp_jvp = jax.linearize(self._geo_mlp, h)
         sdf_cols = []
-        hidden = None
         for axis in range(3):
             t_parts = [jnp.zeros_like(positions).at[:, axis].set(1.0)]
             if c.use_position_encoding:
                 t_parts.append(pe_tangents[axis])
             t_parts.append(dfeats_dpos[axis])
             th = jnp.concatenate(t_parts, axis=-1)
-            hidden, d_hidden = jax.jvp(self._geo_mlp, (h,), (th,))
-            sdf_cols.append(d_hidden[..., 0])
+            sdf_cols.append(mlp_jvp(th)[..., 0])
         gradients = jnp.stack(sdf_cols, axis=-1)  # [M, 3]
         return hidden[..., :1], hidden[..., 1:], gradients

@@ -267,9 +267,20 @@ class NeuSkyModel:
         )
         return aabb_collider(ray_bundle, aabb, c.collider_near)
 
-    def density_fns(self, params):
+    def density_fns(self, params, rng: Optional[jax.Array] = None):
+        """Proposal density callables.  With ``rng`` (training contexts),
+        each field gets a subkey enabling the stochastic-corner table
+        gradient (``DensityFieldConfig.stochastic_table_grad``)."""
+        keys = (
+            jax.random.split(rng, len(self.proposal_fields))
+            if rng is not None
+            else [None] * len(self.proposal_fields)
+        )
         return [
-            (lambda p, _pf=pf, _pp=params[f"proposal_networks_{i}"]: _pf.apply(_pp, p))
+            (
+                lambda p, _pf=pf, _pp=params[f"proposal_networks_{i}"], _k=keys[i]:
+                _pf.apply(_pp, p, _k)
+            )
             for i, pf in enumerate(self.proposal_fields)
         ]
 
@@ -532,11 +543,13 @@ class NeuSkyModel:
         """The per-ray forward graph (``get_outputs`` /
         ``sample_and_forward_field``, ``neusky_model.py:553-931``)."""
         c = self.config
-        k_prop, k_illum, k_grid = jax.random.split(rng, 3)
+        k_prop, k_illum, k_grid, k_stoch = jax.random.split(rng, 4)
 
         rb = self.apply_collider(ray_bundle)
         rs, weights_list, samples_list = proposal_sample(
-            k_prop, rb, self.density_fns(params), c.proposal, train=train, step=step
+            k_prop, rb,
+            self.density_fns(params, k_stoch if train else None),
+            c.proposal, train=train, step=step,
         )
         field_out = self.field.apply(
             params["fields"], rs, True, c.cos_anneal_ratio,
@@ -633,9 +646,15 @@ class NeuSkyModel:
         ``configs/neusky_config.py:45``) gradients flow from the DDF losses
         back into the SDF."""
         c = self.config
+        k_prop, k_stoch = jax.random.split(rng)
         rb = self.apply_collider(ray_bundle)
+        # GT generation is no-grad w.r.t. sampling but (with
+        # stop_gradients=False) backprops into the SDF and proposal tables,
+        # so the stochastic estimator applies here too
         rs, _, _ = proposal_sample(
-            rng, rb, self.density_fns(params), c.proposal, train=False
+            k_prop, rb,
+            self.density_fns(params, None if stop_gradients else k_stoch),
+            c.proposal, train=False,
         )
         field_out = self.field.apply(
             params["fields"], rs, True, c.cos_anneal_ratio,

@@ -5,21 +5,22 @@ Replaces the reference's dependency on tiny-cuda-nn (``tcnn.Encoding`` with
 ``directional_distance_field.py:146-175``).
 
 Design notes (TPU, all trace-driven — see PERF.md):
-  - **Transposed, pad-free data flow.**  Corner indices and interpolation
-    weights are computed as ``[L, 8, N]`` (minor dim = N) and the gather is
-    ``take(table[l] [F, T], idx_l [8, N], axis=1) → [F, 8, N]``.  Every
-    intermediate has a lane dimension of N — nothing tile-pads.  The first
-    design sliced ``[N, L*8]`` arrays into per-level ``[N, 8]`` operands;
-    minor-8 buffers tile-pad 16× on TPU and the async slice/copy traffic of
-    those residuals dominated the training step.
-  - Table storage is ``[L, F, T]`` — XLA lays this out with a (2, 128)
-    tile over (F, T), no padding, and per-level slices stage cleanly into
-    VMEM for the gathers.
+  - **Per-level, pad-free, fusion-friendly data flow.**  Corner indices and
+    interpolation weights are computed per level as ``[8, N]`` (minor dim =
+    N, exactly one (8, 128) tile row per lane block; level resolution and
+    dense/hashed choice are Python-static) so they fuse straight into their
+    consumers — stacking all levels into ``[L, 8, N]`` and slicing made XLA
+    materialize the stack and issue ~1k async DMA slices per step.
+  - **Axis-1 gathers from the [F, T] level.**  ``take(table[lvl], idx,
+    axis=1) → [F, 8, N]``.  XLA stages a transposed ``[T, F]`` copy of the
+    level for this, but the alternative — 1-D gathers from the flat
+    ``[F·T]`` view — measured 1.8× slower end-to-end (XLA's 1-D gather
+    path), so the staging copy is the better trade.
   - Smoothstep interpolation (``tcnn "Smoothstep"``) is supported; unlike
     trilinear it has non-vanishing second derivatives.
   - The table-gradient scatter runs through a Pallas lane-ownership kernel
     (``ops/hashgrid_pallas.py``, 7.3× over XLA's serialized scatter) wired
-    in via the custom-VJP ``take_level``; since custom_vjp cannot be
+    in via the custom-VJP ``take_level_flat``; since custom_vjp cannot be
     forward-mode differentiated, ``encode_with_dx`` provides closed-form
     position derivatives so SDF spatial gradients never JVP through the
     gather.
@@ -32,7 +33,7 @@ grid fits in the table are indexed densely (tcnn behaviour).
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -107,8 +108,7 @@ class HashGridEncoding:
         return self.config.out_dim
 
     def init(self, rng: jax.Array, dtype=jnp.float32) -> jnp.ndarray:
-        """tcnn-style init: uniform in [-1e-4, 1e-4].  Shape [L, F, T]
-        (minor T tiles (F=2,128)-clean; see module docstring)."""
+        """tcnn-style init: uniform in [-1e-4, 1e-4].  Shape [L, F, T]."""
         c = self.config
         return jax.random.uniform(
             rng,
@@ -118,60 +118,61 @@ class HashGridEncoding:
             maxval=1e-4,
         )
 
-    def _indices_weights_t(self, x: jnp.ndarray):
-        """Transposed corner indices / interp weights / weight-derivatives.
+    def _level_iw(self, xt: jnp.ndarray, lvl: int, need_dw: bool):
+        """One level's corner indices / weights (transposed, pad-free).
 
-        x: [N, 3] in [0,1] → (idx [L, 8, N] int32, W [L, 8, N],
-        dW [3, L, 8, N]).  Minor dim is N everywhere — no tile padding.
+        xt: [3, N] (= x.T, shared across levels) →
+        (idx [8, N] int32, W [8, N], dW [3, 8, N] | None).
+
+        Everything level-specific (resolution, dense-vs-hash) is Python-
+        static, so the per-level arithmetic fuses into the gather/consumers
+        without any [L, ...] stack ever materializing.
         """
         c = self.config
-        xt = x.T  # [3, N]
-        res = jnp.asarray(self._resolutions)  # [L]
-        resf = res.astype(x.dtype)
-        scaled = xt[None, :, :] * resf[:, None, None]  # [L, 3, N]
+        res = int(self._resolutions[lvl])
+        resf = jnp.asarray(float(res), xt.dtype)
+        scaled = xt * resf  # [3, N]
         floor = jnp.floor(scaled)
-        frac = scaled - floor  # [L, 3, N]
+        frac = scaled - floor  # [3, N]
         base = floor.astype(jnp.int32)
 
         corners = jnp.asarray(self._corners)  # [8, 3]
-        coords = base[:, None, :, :] + corners[None, :, :, None]  # [L, 8, 3, N]
+        coords = base[None, :, :] + corners[:, :, None]  # [8, 3, N]
 
-        p = jnp.asarray(_PRIMES, dtype=jnp.uint32)
-        cu = coords.astype(jnp.uint32)
-        hashed = (cu[:, :, 0] * p[0]) ^ (cu[:, :, 1] * p[1]) ^ (cu[:, :, 2] * p[2])
-        hashed = (hashed & jnp.uint32(c.table_size - 1)).astype(jnp.int32)  # [L, 8, N]
-
-        rp1 = (res + 1)[:, None, None]  # [L, 1, 1]
-        # clip each coordinate to its level's grid extent: [L,1,1,1]→[L,8,3,N]
-        cc = jnp.minimum(coords, (rp1 - 1)[:, :, None, :])
-        dense_idx = cc[:, :, 0] + cc[:, :, 1] * rp1 + cc[:, :, 2] * rp1 * rp1
-        dense_idx = jnp.minimum(dense_idx, c.table_size - 1)  # [L, 8, N]
-
-        dense_mask = jnp.asarray(self._dense)[:, None, None]  # [L, 1, 1]
-        idx = jnp.where(dense_mask, dense_idx, hashed)  # [L, 8, N]
+        if self._dense[lvl]:
+            rp1 = res + 1
+            cc = jnp.minimum(coords, res)
+            idx = cc[:, 0] + cc[:, 1] * rp1 + cc[:, 2] * (rp1 * rp1)
+            idx = jnp.minimum(idx, c.table_size - 1)  # [8, N]
+        else:
+            p = jnp.asarray(_PRIMES, dtype=jnp.uint32)
+            cu = coords.astype(jnp.uint32)
+            hashed = (cu[:, 0] * p[0]) ^ (cu[:, 1] * p[1]) ^ (cu[:, 2] * p[2])
+            idx = (hashed & jnp.uint32(c.table_size - 1)).astype(jnp.int32)
 
         if c.smoothstep:
             u = frac * frac * (3.0 - 2.0 * frac)
-            du = 6.0 * frac * (1.0 - frac)
+            du = 6.0 * frac * (1.0 - frac) * resf  # chain rule: frac = x·res
         else:
             u = frac
-            du = jnp.ones_like(frac)
-        du = du * resf[:, None, None]  # chain rule: frac = x·res
+            du = None  # identity interp: du == res (constant)
 
-        # omega[l, c, a, n] = u if corner bit a of c else 1-u
-        cb = corners[None, :, :, None]  # [1, 8, 3, 1]
-        omega = jnp.where(cb == 1, u[:, None, :, :], 1.0 - u[:, None, :, :])  # [L,8,3,N]
-        sign = jnp.where(cb == 1, 1.0, -1.0).astype(x.dtype)  # [1, 8, 3, 1]
-        W = jnp.prod(omega, axis=2)  # [L, 8, N]
+        cb = corners[:, :, None]  # [8, 3, 1]
+        omega = jnp.where(cb == 1, u[None], 1.0 - u[None])  # [8, 3, N]
+        W = omega[:, 0] * omega[:, 1] * omega[:, 2]  # [8, N]
+        if not need_dw:
+            return idx, W, None
+        sign = jnp.where(cb == 1, 1.0, -1.0).astype(xt.dtype)  # [8, 3, 1]
         dWs = []
         for a in range(3):
             others = [b for b in range(3) if b != a]
-            prod_others = omega[:, :, others[0], :] * omega[:, :, others[1], :]
-            dWs.append(
-                sign[:, :, a, :] * du[:, None, a, :] * prod_others
-            )  # [L, 8, N]
-        dW = jnp.stack(dWs, axis=0)  # [3, L, 8, N]
-        return idx, W, dW
+            prod_others = omega[:, others[0]] * omega[:, others[1]]  # [8, N]
+            if du is None:
+                d = sign[:, a] * resf * prod_others
+            else:
+                d = sign[:, a] * du[None, a] * prod_others
+            dWs.append(d)
+        return idx, W, jnp.stack(dWs, axis=0)  # [3, 8, N]
 
     def _assemble(self, per_level, n):
         """per_level: list of L arrays [F, N] → [N, L*F] (feature-within-
@@ -180,21 +181,33 @@ class HashGridEncoding:
         return stacked.transpose(2, 0, 1).reshape(n, -1)  # [N, L*F]
 
     def __call__(
-        self, table: jnp.ndarray, x: jnp.ndarray, custom_take: bool = False
+        self,
+        table: jnp.ndarray,
+        x: jnp.ndarray,
+        custom_take: bool = False,
+        stoch_u: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
-        """Encode positions. x: [N, 3] in [0,1] → [N, L*F]."""
+        """Encode positions. x: [N, 3] in [0,1] → [N, L*F].
+
+        ``stoch_u`` ([N] uniforms): use the stochastic-corner table
+        gradient (exact forward, one sampled scatter row per sample/level
+        in backward — see ``take_interp_stoch``; only valid where positions
+        carry no gradient)."""
         c = self.config
         n = x.shape[0]
-        idx, W, _ = self._indices_weights_t(x)
-        w = W.astype(table.dtype)
+        xt = x.T  # [3, N]
         take = self._take(custom_take)
+        if stoch_u is not None:
+            from neusky_tpu.ops.hashgrid_pallas import take_interp_stoch
         outs = []
         for lvl in range(c.num_levels):
-            feats = take(table[lvl], idx[lvl])  # [F, 8, N]
-            # mul + sublane reduction, NOT einsum: XLA lowers the einsum to a
-            # dot_general whose operands transpose to [N, 8]-minor layouts —
-            # 16× tile-padded buffers, trace-observed ~3 s/step of DMA
-            outs.append(jnp.sum(w[lvl][None] * feats, axis=1))  # [F, N]
+            idx, W, _ = self._level_iw(xt, lvl, need_dw=False)
+            w = W.astype(table.dtype)
+            if stoch_u is not None:
+                outs.append(take_interp_stoch(table[lvl], idx, w, stoch_u))
+            else:
+                feats = take(table[lvl], idx)  # [F, 8, N]
+                outs.append(jnp.sum(w[None] * feats, axis=1))  # [F, N]
         out = self._assemble(outs, n)
         if c.layout_barrier:
             out = jax.lax.optimization_barrier(out)
@@ -202,6 +215,11 @@ class HashGridEncoding:
 
     @staticmethod
     def _take(custom: bool):
+        # NOTE: the axis-1 gather from the [F, T] level.  A flat [F·T]
+        # 1-D-gather variant (take_level_flat) was measured 1.8× slower
+        # end-to-end on v5e (1.17 vs 0.64 s/step) despite avoiding the
+        # [T, 2] transposed staging copies — XLA's 1-D gather path is the
+        # worse trade.  Kept in hashgrid_pallas for reference.
         if custom:
             from neusky_tpu.ops.hashgrid_pallas import take_level
 
@@ -218,22 +236,22 @@ class HashGridEncoding:
         The derivative is closed-form from the interpolation weights
         (∂W_c/∂x_a = ±u'_a · Π_{b≠a} ω_b), so the SDF's spatial gradient
         never needs AD *through* the gather — which lets the gather be the
-        custom-VJP ``take_level`` with the Pallas scatter backward
+        custom-VJP ``take_level_flat`` with the Pallas scatter backward
         (custom_vjp cannot be forward-mode differentiated)."""
         c = self.config
         n = x.shape[0]
-        idx, W, dW = self._indices_weights_t(x)
-        w = W.astype(table.dtype)
-        dw = dW.astype(table.dtype)
+        xt = x.T
         take = self._take(custom_take)
         outs = []
         douts = [[], [], []]
         for lvl in range(c.num_levels):
-            feats = take(table[lvl], idx[lvl])  # [F, 8, N]
-            # mul + sublane reduce (see __call__) — keeps [8, N] orientation
-            outs.append(jnp.sum(w[lvl][None] * feats, axis=1))
+            idx, W, dW = self._level_iw(xt, lvl, need_dw=True)
+            feats = take(table[lvl], idx)  # [F, 8, N]
+            w = W.astype(table.dtype)
+            dw = dW.astype(table.dtype)
+            outs.append(jnp.sum(w[None] * feats, axis=1))
             for a in range(3):
-                douts[a].append(jnp.sum(dw[a, lvl][None] * feats, axis=1))
+                douts[a].append(jnp.sum(dw[a][None] * feats, axis=1))
         out = self._assemble(outs, n)  # [N, L*F]
         dout = jnp.stack(
             [self._assemble(d, n) for d in douts], axis=1

@@ -185,6 +185,99 @@ take_rows.defvjp(_take_rows_fwd, _take_rows_bwd)
 
 
 # ---------------------------------------------------------------------------
+# stochastic-corner interpolated gather: exact forward, sampled backward
+
+
+@jax.custom_vjp
+def take_interp_stoch(
+    t2: jnp.ndarray, idx: jnp.ndarray, w: jnp.ndarray, u: jnp.ndarray
+) -> jnp.ndarray:
+    """Interpolated level lookup with a stochastic-corner table gradient.
+
+    t2: [F, T]; idx, w: [8, N]; u: [N] uniforms → out [F, N] = Σ_c w_c·t2[:, idx_c].
+
+    Forward is EXACT.  The backward table gradient samples ONE corner per
+    sample from Categorical(w/Σw) (independent of the cotangent, so the
+    estimator is unbiased) and scatters ``g·Σw`` there — 8× fewer scatter
+    rows.  For trilinear weights Σw = 1, so the scattered value is just
+    ``g``: importance sampling exactly cancels the weight.
+
+    The ``w`` cotangent is ZERO — only use this where positions (and hence
+    w) carry no gradient, e.g. the proposal density fields whose inputs are
+    stop-gradient resampled bins (``sampling/proposal.py``).  ``u`` is
+    non-differentiable."""
+    feats = jnp.take(t2, idx, axis=1)  # [F, 8, N]
+    return jnp.sum(w[None] * feats, axis=1)
+
+
+def _take_interp_stoch_fwd(t2, idx, w, u):
+    return take_interp_stoch(t2, idx, w, u), (idx, w, u, t2.shape)
+
+
+def _take_interp_stoch_bwd(res, g):
+    idx, w, u, (f, t) = res
+    # corner ~ Categorical(w / Σw): inverse-CDF with one uniform per sample
+    wsum = jnp.sum(w, axis=0)  # [N] (≈1 for trilinear)
+    cdf = jnp.cumsum(w, axis=0)  # [8, N]
+    c_star = jnp.sum((cdf < (u * wsum)[None, :]).astype(jnp.int32), axis=0)
+    c_star = jnp.clip(c_star, 0, w.shape[0] - 1)  # [N]
+    rows = jnp.take_along_axis(idx, c_star[None, :], axis=0)[0]  # [N]
+    vals = g * wsum[None, :]  # [F, N]
+    if _use_pallas() and t % 128 == 0 and f == 2:
+        dtable = scatter_add_tablegrad_t(rows, vals, t)  # [2, T]
+    else:
+        dtable = jnp.zeros((t, f), vals.dtype).at[rows].add(vals.T).T
+    return dtable, None, jnp.zeros_like(w), None
+
+
+take_interp_stoch.defvjp(_take_interp_stoch_fwd, _take_interp_stoch_bwd)
+
+
+# ---------------------------------------------------------------------------
+# flat-level gather: t_flat [F*T], idx [8, N] → [F, 8, N]
+#
+# 1-D gathers cannot trigger XLA's transposed-operand staging (observed for
+# the axis-1 gather from [F, T]); the VJP is the lane-ownership scatter.
+
+
+from functools import partial
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def take_level_flat(t_flat: jnp.ndarray, idx: jnp.ndarray, table_size: int):
+    """One hash level's gather from the flat [F·T] view.
+
+    t_flat: [F*T] (bitcast of a [F, T] level); idx: [8, N] int32 →
+    [F, 8, N].  Same forward-mode caveat as ``take_rows``."""
+    f = t_flat.shape[0] // table_size
+    return jnp.stack(
+        [jnp.take(t_flat, idx + fi * table_size) for fi in range(f)], axis=0
+    )
+
+
+def _take_level_flat_fwd(t_flat, idx, table_size):
+    return take_level_flat(t_flat, idx, table_size), (idx, t_flat.shape[0])
+
+
+def _take_level_flat_bwd(table_size, res, g):
+    idx, ft = res
+    f = ft // table_size
+    flat_idx = idx.reshape(-1)  # [M]
+    gf = g.reshape(f, -1)  # [F, M]
+    if _use_pallas() and table_size % 128 == 0 and f == 2:
+        d = scatter_add_tablegrad_t(flat_idx, gf, table_size)  # [2, T]
+        dtable = d.reshape(-1)  # [2T] — plane-major, matches the flat view
+    else:
+        dtable = jnp.zeros((ft,), gf.dtype)
+        for fi in range(f):
+            dtable = dtable.at[flat_idx + fi * table_size].add(gf[fi])
+    return dtable, None
+
+
+take_level_flat.defvjp(_take_level_flat_fwd, _take_level_flat_bwd)
+
+
+# ---------------------------------------------------------------------------
 # transposed-layout gather: table [F, T], idx [..., N] → [F, ..., N]
 
 

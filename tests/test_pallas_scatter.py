@@ -50,6 +50,47 @@ def test_scatter_transposed_matches_reference():
     assert np.allclose(np.asarray(out), np.asarray(ref).T, atol=1e-4)
 
 
+def test_take_interp_stoch_forward_exact_backward_unbiased():
+    from neusky_tpu.ops.hashgrid_pallas import take_interp_stoch
+
+    T, N = 256, 32
+    k = jax.random.PRNGKey(10)
+    t2 = jax.random.normal(k, (2, T))
+    idx = jax.random.randint(jax.random.PRNGKey(11), (8, N), 0, T)
+    w = jax.random.uniform(jax.random.PRNGKey(12), (8, N)) + 0.01
+    u = jax.random.uniform(jax.random.PRNGKey(13), (N,))
+
+    # forward is exact
+    out = take_interp_stoch(t2, idx, w, u)
+    ref = jnp.sum(w[None] * t2[:, idx], axis=1)
+    assert np.allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    # backward unbiasedness, EXACTLY: with one sample, enumerate the 8
+    # inverse-CDF strata of u and weight each stratum's gradient by its
+    # probability w_c/Σw — the weighted sum must equal the exact gradient.
+    idx1 = idx[:, :1]
+    w1 = w[:, :1]
+
+    def loss1(t, uu):
+        return jnp.sum(take_interp_stoch(t, idx1, w1, uu) ** 2)
+
+    exact1 = jax.grad(
+        lambda t: jnp.sum(jnp.sum(w1[None] * t[:, idx1], 1) ** 2)
+    )(t2)
+    wsum = float(jnp.sum(w1))
+    cdf = np.cumsum(np.asarray(w1[:, 0])) / wsum  # normalised strata edges
+    lo = np.concatenate([[0.0], cdf[:-1]])
+    expected = np.zeros_like(np.asarray(exact1))
+    for c in range(8):
+        u_mid = jnp.asarray([(lo[c] + cdf[c]) / 2.0], jnp.float32)
+        g_c = np.asarray(jax.grad(loss1)(t2, u_mid))
+        p_c = cdf[c] - lo[c]
+        expected += p_c * g_c
+    assert np.allclose(expected, np.asarray(exact1), atol=1e-4), (
+        np.abs(expected - np.asarray(exact1)).max()
+    )
+
+
 def test_take_level_roundtrip():
     """take_level forward == XLA take; VJP == XLA scatter (CPU fallback)."""
     from neusky_tpu.ops.hashgrid_pallas import take_level
