@@ -288,7 +288,7 @@ class SDFAlbedoField(nn.Module):
     def _geo_with_grad_analytic(self, positions: jnp.ndarray):
         """Forward-mode gradient with *analytic* encode derivatives.
 
-        The hash gather runs through the custom-VJP ``take_rows`` (Pallas
+        The hash gather runs through a custom-VJP encode (Pallas
         scatter backward, 7.3× faster than XLA scatter); since custom_vjp
         cannot sit under JVP, the encode's position derivative is computed
         in closed form (``encode_with_dx``) and only the MLP is JVP'd.

@@ -20,10 +20,11 @@ Design notes (TPU, all trace-driven — see PERF.md):
     trilinear it has non-vanishing second derivatives.
   - The table-gradient scatter runs through a Pallas lane-ownership kernel
     (``ops/hashgrid_pallas.py``, 7.3× over XLA's serialized scatter) wired
-    in via the custom-VJP ``take_level_flat``; since custom_vjp cannot be
-    forward-mode differentiated, ``encode_with_dx`` provides closed-form
-    position derivatives so SDF spatial gradients never JVP through the
-    gather.
+    in via the per-level custom-VJP ops ``_level_encode(_dx)`` whose only
+    saved residual is the positions (indices/weights are recomputed in
+    backward); since custom_vjp cannot be forward-mode differentiated,
+    ``encode_with_dx`` provides closed-form position derivatives so SDF
+    spatial gradients never JVP through the gather.
 
 The hash function matches Instant-NGP: xor of coordinates times the primes
 (1, 2654435761, 805459861), masked to the table size.  Levels whose dense
@@ -33,6 +34,7 @@ grid fits in the table are indexed densely (tcnn behaviour).
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import Optional, Tuple
 
 import jax
@@ -192,39 +194,37 @@ class HashGridEncoding:
         ``stoch_u`` ([N] uniforms): use the stochastic-corner table
         gradient (exact forward, one sampled scatter row per sample/level
         in backward — see ``take_interp_stoch``; only valid where positions
-        carry no gradient)."""
+        carry no gradient).
+
+        ``custom_take=True`` additionally makes each level's encode a
+        single custom-VJP op whose only residual is the positions —
+        indices/weights are RECOMPUTED in the backward pass (cheap VPU
+        math) instead of being saved, which removes ~1 GB/step of
+        residual-array DMA at canonical scale.  Positions receive a zero
+        cotangent (they are non-differentiated leaves in every training
+        graph here — spatial derivatives come from ``encode_with_dx``)."""
         c = self.config
         n = x.shape[0]
         xt = x.T  # [3, N]
-        take = self._take(custom_take)
         if stoch_u is not None:
             from neusky_tpu.ops.hashgrid_pallas import take_interp_stoch
         outs = []
         for lvl in range(c.num_levels):
+            if custom_take and stoch_u is None:
+                outs.append(_level_encode(self, lvl, table[lvl], xt))
+                continue
             idx, W, _ = self._level_iw(xt, lvl, need_dw=False)
             w = W.astype(table.dtype)
             if stoch_u is not None:
                 outs.append(take_interp_stoch(table[lvl], idx, w, stoch_u))
             else:
-                feats = take(table[lvl], idx)  # [F, 8, N]
+                feats = jnp.take(table[lvl], idx, axis=1)  # [F, 8, N]
                 outs.append(jnp.sum(w[None] * feats, axis=1))  # [F, N]
         out = self._assemble(outs, n)
         if c.layout_barrier:
             out = jax.lax.optimization_barrier(out)
         return out
 
-    @staticmethod
-    def _take(custom: bool):
-        # NOTE: the axis-1 gather from the [F, T] level.  A flat [F·T]
-        # 1-D-gather variant (take_level_flat) was measured 1.8× slower
-        # end-to-end on v5e (1.17 vs 0.64 s/step) despite avoiding the
-        # [T, 2] transposed staging copies — XLA's 1-D gather path is the
-        # worse trade.  Kept in hashgrid_pallas for reference.
-        if custom:
-            from neusky_tpu.ops.hashgrid_pallas import take_level
-
-            return take_level
-        return lambda t2, i: jnp.take(t2, i, axis=1)
 
     def encode_with_dx(
         self, table: jnp.ndarray, x: jnp.ndarray, custom_take: bool = True
@@ -241,12 +241,17 @@ class HashGridEncoding:
         c = self.config
         n = x.shape[0]
         xt = x.T
-        take = self._take(custom_take)
         outs = []
         douts = [[], [], []]
         for lvl in range(c.num_levels):
+            if custom_take:
+                o, d0, d1, d2 = _level_encode_dx(self, lvl, table[lvl], xt)
+                outs.append(o)
+                for a, d in enumerate((d0, d1, d2)):
+                    douts[a].append(d)
+                continue
             idx, W, dW = self._level_iw(xt, lvl, need_dw=True)
-            feats = take(table[lvl], idx)  # [F, 8, N]
+            feats = jnp.take(table[lvl], idx, axis=1)  # [F, 8, N]
             w = W.astype(table.dtype)
             dw = dW.astype(table.dtype)
             outs.append(jnp.sum(w[None] * feats, axis=1))
@@ -259,3 +264,99 @@ class HashGridEncoding:
         if c.layout_barrier:
             out, dout = jax.lax.optimization_barrier((out, dout))
         return out, dout
+
+
+# ---------------------------------------------------------------------------
+# per-level encode as a single custom-VJP op: residual = positions only
+#
+# Backward RECOMPUTES indices/weights from the positions (a handful of VPU
+# ops) instead of saving [8, N] / [3, 8, N] residual arrays — at canonical
+# scale the saved-residual traffic was ~1 GB/step of async DMA (trace).
+# The gather itself is NOT needed in backward (feats only matter for w/x
+# cotangents, and positions are non-differentiated leaves by design — the
+# SDF's spatial gradient is the analytic ``encode_with_dx`` output).
+# NOTE: custom_vjp ⇒ no forward-mode AD through these (same restriction as
+# the take_* ops; all JVP paths use the analytic derivatives).
+#
+# The axis-1 gather from the [F, T] level is kept: a flat [F·T] 1-D-gather
+# variant measured 1.8× slower end-to-end on v5e despite avoiding the
+# [T, F] transposed staging copy.
+
+
+def _scatter_ft(rows: jnp.ndarray, vals: jnp.ndarray, t: int) -> jnp.ndarray:
+    """rows [M], vals [F, M] → [F, T] gradient table (Pallas on TPU)."""
+    from neusky_tpu.ops.hashgrid_pallas import (
+        _use_pallas,
+        scatter_add_tablegrad_t,
+    )
+
+    f = vals.shape[0]
+    if _use_pallas() and t % 128 == 0 and f == 2:
+        return scatter_add_tablegrad_t(rows, vals, t)
+    return jnp.zeros((t, f), vals.dtype).at[rows].add(vals.T).T
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _level_encode(enc: "HashGridEncoding", lvl: int, t2, xt):
+    """One level's interpolated encode: t2 [F, T], xt [3, N] → [F, N]."""
+    idx, W, _ = enc._level_iw(xt, lvl, need_dw=False)
+    feats = jnp.take(t2, idx, axis=1)  # [F, 8, N]
+    return jnp.sum(W.astype(t2.dtype)[None] * feats, axis=1)
+
+
+def _level_encode_fwd(enc, lvl, t2, xt):
+    return _level_encode(enc, lvl, t2, xt), (t2, xt)
+
+
+def _level_encode_bwd(enc, lvl, res, g):
+    """True cotangents for BOTH table and positions.
+
+    The position cotangent matters: ``sdf_only`` runs at DDF termination
+    points, and the level-set loss trains the DDF *through* those points
+    (∂sdf/∂x · ∂x/∂DDF — reference ``ddf_model.py:241-251``).  Everything
+    is recomputed from xt (indices, weights, weight derivatives, plus a
+    re-gather of the level features) rather than saved as residuals."""
+    t2, xt = res
+    idx, W, dW = enc._level_iw(xt, lvl, need_dw=True)
+    w_upd = W.astype(g.dtype)[None] * g[:, None, :]  # [F, 8, N]
+    d = _scatter_ft(idx.reshape(-1), w_upd.reshape(g.shape[0], -1), t2.shape[1])
+    # dL/dxt[a, n] = Σ_c dW[a,c,n] · Σ_f g[f,n] · feats[f,c,n]
+    feats = jnp.take(t2, idx, axis=1)  # [F, 8, N]
+    gf = jnp.sum(g[:, None, :] * feats, axis=0)  # [8, N]
+    dxt = jnp.sum(dW.astype(g.dtype) * gf[None], axis=1)  # [3, N]
+    return d, dxt
+
+
+_level_encode.defvjp(_level_encode_fwd, _level_encode_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _level_encode_dx(enc: "HashGridEncoding", lvl: int, t2, xt):
+    """Encode + analytic d/dx: → (out [F,N], d0 [F,N], d1 [F,N], d2 [F,N])."""
+    idx, W, dW = enc._level_iw(xt, lvl, need_dw=True)
+    feats = jnp.take(t2, idx, axis=1)  # [F, 8, N]
+    w = W.astype(t2.dtype)
+    dw = dW.astype(t2.dtype)
+    out = jnp.sum(w[None] * feats, axis=1)
+    ds = tuple(jnp.sum(dw[a][None] * feats, axis=1) for a in range(3))
+    return (out,) + ds
+
+
+def _level_encode_dx_fwd(enc, lvl, t2, xt):
+    return _level_encode_dx(enc, lvl, t2, xt), (xt, t2.shape[1])
+
+
+def _level_encode_dx_bwd(enc, lvl, res, gs):
+    xt, t = res
+    g_out, g0, g1, g2 = gs
+    idx, W, dW = enc._level_iw(xt, lvl, need_dw=True)  # recompute
+    w = W.astype(g_out.dtype)
+    dw = dW.astype(g_out.dtype)
+    upd = w[None] * g_out[:, None, :]
+    for a, ga in enumerate((g0, g1, g2)):
+        upd = upd + dw[a][None] * ga[:, None, :]
+    d = _scatter_ft(idx.reshape(-1), upd.reshape(g_out.shape[0], -1), t)
+    return d, jnp.zeros_like(xt)
+
+
+_level_encode_dx.defvjp(_level_encode_dx_fwd, _level_encode_dx_bwd)

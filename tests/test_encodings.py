@@ -123,6 +123,47 @@ class TestHashGrid:
                 np.asarray(dout), np.asarray(jac).transpose(0, 2, 1), atol=1e-2
             ), f"smoothstep={smooth}"
 
+    def test_custom_vjp_table_grad_matches_xla(self):
+        """_level_encode(_dx) recompute-residual backward == plain AD."""
+        for smooth in (False, True):
+            enc = self._enc(smoothstep=smooth)
+            table = enc.init(jax.random.PRNGKey(0)) * 1e4
+            x = jax.random.uniform(
+                jax.random.PRNGKey(7), (16, 3), minval=0.05, maxval=0.95
+            )
+
+            def loss_plain(t):
+                return jnp.sum(enc(t, x, custom_take=False) ** 2)
+
+            def loss_custom(t):
+                return jnp.sum(enc(t, x, custom_take=True) ** 2)
+
+            gp = jax.grad(loss_plain)(table)
+            gc = jax.grad(loss_custom)(table)
+            assert np.allclose(np.asarray(gp), np.asarray(gc), atol=1e-3)
+
+            def dx_loss(t, custom):
+                out, dout = enc.encode_with_dx(t, x, custom_take=custom)
+                return jnp.sum(out**2) + jnp.sum(dout**2)
+
+            gp2 = jax.grad(lambda t: dx_loss(t, False))(table)
+            gc2 = jax.grad(lambda t: dx_loss(t, True))(table)
+            assert np.allclose(np.asarray(gp2), np.asarray(gc2), atol=1e-2), (
+                np.abs(np.asarray(gp2) - np.asarray(gc2)).max()
+            )
+
+            # POSITION gradients through the custom path must match plain AD
+            # (the sdf-at-termination-points site trains the DDF through
+            # them — a zero x-cotangent here is a silent correctness bug)
+            def xloss(xx, custom):
+                return jnp.sum(enc(table, xx, custom_take=custom) ** 2)
+
+            gxp = jax.grad(lambda xx: xloss(xx, False))(x)
+            gxc = jax.grad(lambda xx: xloss(xx, True))(x)
+            assert np.allclose(np.asarray(gxp), np.asarray(gxc), atol=1e-2), (
+                np.abs(np.asarray(gxp) - np.asarray(gxc)).max()
+            )
+
     def test_finite_diff_position_grad(self):
         enc = self._enc(smoothstep=True)
         table = enc.init(jax.random.PRNGKey(0)) * 1e4

@@ -12,8 +12,11 @@ Usage:  python tools/train_sanity.py [num_steps] [log_every]
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
