@@ -120,7 +120,6 @@ def main():
         )
     jax.block_until_ready(aux["total_loss"])
 
-    import os
     import sys
 
     trace_dir = None

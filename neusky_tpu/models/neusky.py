@@ -144,18 +144,39 @@ class NeuSkyModelConfig:
     0 → use all directions."""
 
 
-def _chunked_apply(fn: Callable, args: Tuple[jnp.ndarray, ...], chunk: int):
+def _chunked_apply(
+    fn: Callable,
+    args: Tuple[jnp.ndarray, ...],
+    chunk: int,
+    constrain_chunk: Optional[Callable] = None,
+):
     """Run ``fn`` over the leading axis in fixed chunks with remat.
 
     Bounds peak activation memory of the N·D visibility queries; exact
     because results are concatenated.  Pads to a multiple of ``chunk``.
+
+    ``constrain_chunk`` (optional): sharding constraint applied to each
+    per-iteration ``[chunk, ...]`` slice inside the scan body — used by the
+    SP (dirs-sharded) path so every device processes ``chunk / mesh_size``
+    elements per iteration instead of materialising its whole N·D shard at
+    once (the reference OOMs exactly here at canonical scale,
+    ``neusky_model.py:1685-1699``).
     """
     m = args[0].shape[0]
     num_chunks = max(1, -(-m // chunk))
     pad = num_chunks * chunk - m
     padded = tuple(jnp.concatenate([a, jnp.zeros((pad, *a.shape[1:]), a.dtype)], 0) if pad else a for a in args)
     stacked = tuple(a.reshape(num_chunks, chunk, *a.shape[1:]) for a in padded)
-    out = jax.lax.map(jax.checkpoint(lambda xs: fn(*xs)), stacked)
+
+    def body(xs):
+        if constrain_chunk is not None:
+            xs = tuple(constrain_chunk(x) for x in xs)
+        out = fn(*xs)
+        if constrain_chunk is not None:
+            out = jax.tree_util.tree_map(constrain_chunk, out)
+        return out
+
+    out = jax.lax.map(jax.checkpoint(body), stacked)
     return jax.tree_util.tree_map(
         lambda o: o.reshape(num_chunks * chunk, *o.shape[2:])[:m], out
     )
@@ -421,9 +442,21 @@ class NeuSkyModel:
             return self.ddf.apply(ddf_params, o, dd)
 
         if self._dirs_sharded:
-            # SP-style: the N·D axis is sharded across the mesh product —
-            # per-device memory is bounded by the sharding, no chunking
-            out = ddf_query(sphere_pts, -dir_nd)
+            # SP-style: each scan iteration's [chunk] slice is sharded across
+            # the mesh product, so per-device activation memory is bounded by
+            # chunk/mesh_size — chunking and sharding compose (Weak #3 fix:
+            # previously this branch materialised the full per-device N·D
+            # shard in one MLP application).
+            mesh_size = self.mesh.devices.size
+            sp_chunk = self.config.visibility_query_chunk * mesh_size
+            out = _chunked_apply(
+                ddf_query,
+                (sphere_pts, -dir_nd),
+                sp_chunk,
+                constrain_chunk=lambda x: self._constrain(
+                    x, (("data", "dirs"),) + (None,) * (x.ndim - 1)
+                ),
+            )
         else:
             out = _chunked_apply(
                 ddf_query, (sphere_pts, -dir_nd), self.config.visibility_query_chunk
@@ -470,8 +503,18 @@ class NeuSkyModel:
             def sdf_query(p):
                 return self.field.apply(field_params, p, method=self.field.sdf_only)
 
-            if self._dirs_sharded or not c.sdf_query_chunk:
+            if not c.sdf_query_chunk:
                 sdf_at_term = sdf_query(term_points)
+            elif self._dirs_sharded:
+                mesh_size = self.mesh.devices.size
+                sdf_at_term = _chunked_apply(
+                    sdf_query,
+                    (term_points,),
+                    c.sdf_query_chunk * mesh_size,
+                    constrain_chunk=lambda x: self._constrain(
+                        x, (("data", "dirs"),) + (None,) * (x.ndim - 1)
+                    ),
+                )
             else:
                 sdf_at_term = _chunked_apply(
                     sdf_query, (term_points,), c.sdf_query_chunk

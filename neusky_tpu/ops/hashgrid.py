@@ -200,9 +200,12 @@ class HashGridEncoding:
         single custom-VJP op whose only residual is the positions —
         indices/weights are RECOMPUTED in the backward pass (cheap VPU
         math) instead of being saved, which removes ~1 GB/step of
-        residual-array DMA at canonical scale.  Positions receive a zero
-        cotangent (they are non-differentiated leaves in every training
-        graph here — spatial derivatives come from ``encode_with_dx``)."""
+        residual-array DMA at canonical scale.  Positions receive the TRUE
+        (recomputed) cotangent — ``_level_encode_bwd`` derives it from the
+        weight derivatives; the DDF level-set loss depends on it
+        (∂sdf/∂x·∂x/∂DDF, reference ``ddf_model.py:241-251``) and tests
+        assert it.  Only ``_level_encode_dx`` zeroes the position
+        cotangent (its callers differentiate positions analytically)."""
         c = self.config
         n = x.shape[0]
         xt = x.T  # [3, N]
@@ -291,7 +294,9 @@ def _scatter_ft(rows: jnp.ndarray, vals: jnp.ndarray, t: int) -> jnp.ndarray:
     )
 
     f = vals.shape[0]
-    if _use_pallas() and t % 128 == 0 and f == 2:
+    # dtype gate: the Pallas kernel emits float32; a non-f32 table would get
+    # a dtype-mismatched custom_vjp cotangent (ADVICE r1)
+    if _use_pallas() and t % 128 == 0 and f == 2 and vals.dtype == jnp.float32:
         return scatter_add_tablegrad_t(rows, vals, t)
     return jnp.zeros((t, f), vals.dtype).at[rows].add(vals.T).T
 

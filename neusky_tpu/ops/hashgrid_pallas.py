@@ -174,7 +174,7 @@ def _take_rows_bwd(res, g):
     idx, t = res
     flat_idx = idx.reshape(-1)
     flat_g = g.reshape(-1, g.shape[-1])
-    if _use_pallas() and t % 128 == 0 and flat_g.shape[-1] == 2:
+    if _use_pallas() and t % 128 == 0 and flat_g.shape[-1] == 2 and flat_g.dtype == jnp.float32:
         dtable = scatter_add_tablegrad(flat_idx, flat_g, t)
     else:
         dtable = jnp.zeros((t, flat_g.shape[-1]), flat_g.dtype).at[flat_idx].add(flat_g)
@@ -223,7 +223,7 @@ def _take_interp_stoch_bwd(res, g):
     c_star = jnp.clip(c_star, 0, w.shape[0] - 1)  # [N]
     rows = jnp.take_along_axis(idx, c_star[None, :], axis=0)[0]  # [N]
     vals = g * wsum[None, :]  # [F, N]
-    if _use_pallas() and t % 128 == 0 and f == 2:
+    if _use_pallas() and t % 128 == 0 and f == 2 and vals.dtype == jnp.float32:
         dtable = scatter_add_tablegrad_t(rows, vals, t)  # [2, T]
     else:
         dtable = jnp.zeros((t, f), vals.dtype).at[rows].add(vals.T).T
@@ -264,7 +264,7 @@ def _take_level_flat_bwd(table_size, res, g):
     f = ft // table_size
     flat_idx = idx.reshape(-1)  # [M]
     gf = g.reshape(f, -1)  # [F, M]
-    if _use_pallas() and table_size % 128 == 0 and f == 2:
+    if _use_pallas() and table_size % 128 == 0 and f == 2 and gf.dtype == jnp.float32:
         d = scatter_add_tablegrad_t(flat_idx, gf, table_size)  # [2, T]
         dtable = d.reshape(-1)  # [2T] — plane-major, matches the flat view
     else:
@@ -302,7 +302,7 @@ def _take_level_bwd(res, g):
     f, t = shape
     flat_idx = idx.reshape(-1)  # [M]
     gf = g.reshape(f, -1)  # [F, M]
-    if _use_pallas() and t % 128 == 0 and f == 2:
+    if _use_pallas() and t % 128 == 0 and f == 2 and gf.dtype == jnp.float32:
         dtable = scatter_add_tablegrad_t(flat_idx, gf, t)  # [2, T]
     else:
         dtable = (

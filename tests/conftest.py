@@ -1,21 +1,22 @@
 """Test configuration.
 
-Tests run on CPU (``JAX_PLATFORMS=cpu``).  NOTE: this build box has a single
-CPU core and ``--xla_force_host_platform_device_count`` deadlocks XLA there,
-so we do NOT force a virtual device mesh here.  Sharding tests skip
-themselves when fewer than 2 devices are visible; to run them locally use::
-
-    JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
-        python -m pytest tests/test_parallel.py
-
-(on a multi-core machine).  The driver separately validates the multi-chip
-path via ``__graft_entry__.dryrun_multichip``.
+Tests run on CPU (``JAX_PLATFORMS=cpu``) with EIGHT virtual devices
+(``--xla_force_host_platform_device_count=8``) so the sharding/mesh tests in
+``tests/test_parallel.py`` exercise real multi-device semantics in-process.
+(Round 1 believed this deadlocked on the 1-core box; verified round 2 that it
+does not.)  The driver separately validates the multi-chip path via
+``__graft_entry__.dryrun_multichip``.
 """
 
 import os
 
 # The ambient environment pins JAX_PLATFORMS=axon (TPU); force CPU for tests.
 os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        f"{_flags} --xla_force_host_platform_device_count=8".strip()
+    )
 # The axon sitecustomize registers the TPU PJRT plugin in every python
 # process and *blocks on the TPU tunnel* if another process holds the claim.
 # Tests are CPU-only; drop the trigger var so registration is skipped.
