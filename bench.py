@@ -70,6 +70,9 @@ def main():
         DataManagerConfig(
             pixel_sampler=PixelSamplerConfig(images_per_batch=8, rays_per_image=128),
             num_sky_rays=256,
+            # C++ prefetch sampler (native/batch_sampler.cpp); numpy fallback
+            use_native_sampler=os.environ.get("NEUSKY_BENCH_NATIVE", "1")
+            not in ("0", "", "false"),
         ),
         scene["cameras"], scene["images"], scene["masks"],
     )

@@ -69,6 +69,9 @@ def neusky_model_config(
             output_activation="None", last_layer_linear=True,
             fixed_decoder=True, trainable_scale=True,
         ),
+        # frozen pretrained prior (reference ``neusky_model.py:272-300``):
+        # produced in-repo by tools/train_reni_prior.py (procedural skies)
+        illumination_prior_dir="checkpoints/reni_prior_latent100",
         ddf=DDFModelConfig(
             field=DDFFieldConfig(
                 ddf_type="ddf",

@@ -25,6 +25,12 @@ class DataManagerConfig:
     pixel_sampler: PixelSamplerConfig = PixelSamplerConfig()
     num_sky_rays: int = 256
     seed: int = 0
+    use_native_sampler: bool = False
+    """Draw training batches from the C++ sampler/prefetcher
+    (``native/batch_sampler.cpp``): index tables + gather + a background
+    prefetch thread overlap batch assembly with the device step.  Falls
+    back to the numpy sampler when the .so cannot be built."""
+    native_queue_depth: int = 4
 
 
 class DataManager:
@@ -61,6 +67,24 @@ class DataManager:
         self.train_masks = train_masks
         self.eval_masks = eval_masks
 
+        self._native = None
+        if config.use_native_sampler:
+            from neusky_tpu.data.native_sampler import (
+                NativeBatchSampler,
+                native_available,
+            )
+
+            if native_available():
+                ps = config.pixel_sampler
+                u = min(ps.images_per_batch, self.num_train)
+                self._native = NativeBatchSampler(
+                    train_images, train_masks, seed=config.seed
+                )
+                self._native.start_prefetch(
+                    u, ps.rays_per_image, config.native_queue_depth
+                )
+                self._native_u = u
+
     @property
     def num_train(self) -> int:
         return self.train_sampler.num_images
@@ -71,14 +95,47 @@ class DataManager:
 
     def next_train(self, step: int = 0) -> Dict:
         """Scene batch + sky-ray bundle (``next_train`` + DDF sky rays)."""
-        batch = self.train_sampler.sample_batch()
-        sky = self.train_sampler.sample_sky_rays(self.config.num_sky_rays)
+        if self._native is not None:
+            batch = self._native_batch()
+        else:
+            batch = self.train_sampler.sample_batch()
+        sky = self._native_sky() if self._native is not None else (
+            self.train_sampler.sample_sky_rays(self.config.num_sky_rays)
+        )
         if sky is not None:
             if isinstance(sky, tuple):  # device_rays: host (cam_idx, coords)
                 batch["sky_cam_idx"], batch["sky_pixel_coords"] = sky
             else:
                 batch["sky_ray_bundle"] = sky
         return batch
+
+    def _native_batch(self) -> Dict:
+        """Prefetched native batch → the same host-numpy layout as
+        ``PixelSampler._pixels_to_batch`` (device_rays mode)."""
+        u = self._native_u
+        r = self.config.pixel_sampler.rays_per_image
+        rows, pixels, rgb, mask = self._native.next_batch()
+        w = self._native.width
+        ys = (pixels // w).astype(np.float32) + 0.5
+        xs = (pixels % w).astype(np.float32) + 0.5
+        return {
+            "image_indices": rows.astype(np.int32),
+            "ray_image_idx": np.repeat(np.arange(u, dtype=np.int32), r),
+            "cam_idx": np.repeat(rows, r).astype(np.int32),
+            "pixel_coords": np.stack([ys, xs], axis=-1),
+            "image": rgb,
+            "mask": mask,
+            "cameras": self.train_cameras,
+        }
+
+    def _native_sky(self):
+        if not self._native.has_sky:
+            return None
+        rows, pixels = self._native.sample_sky(self.config.num_sky_rays)
+        w = self._native.width
+        ys = (pixels // w).astype(np.float32) + 0.5
+        xs = (pixels % w).astype(np.float32) + 0.5
+        return rows.astype(np.int32), np.stack([ys, xs], axis=-1)
 
     def eval_image_bundle(self, image_idx: int) -> Tuple[RayBundle, Dict]:
         """Full-image ray bundle + GT batch for eval renders."""

@@ -93,10 +93,17 @@ def fit_eval_latents(
     lr: float = 1e-1,
     lr_final: float = 1e-7,
     sample_region: str = "full_image",
+    host_loop: bool = False,
 ):
     """Test-time latent optimisation: resets eval latents to zero / scales
     to one, then ``steps`` Adam updates on the sky+RGB losses with the
-    decoder frozen (``neusky_model.py:1503-1588``)."""
+    decoder frozen (``neusky_model.py:1503-1588``).
+
+    Default path: all ``steps`` pixel batches are pre-sampled on host,
+    stacked, and the whole Adam loop runs as ONE jitted ``lax.scan`` —
+    a single dispatch + a single device→host transfer (the loss trace),
+    instead of 250 round trips (SURVEY §7.3-6).  ``host_loop=True`` keeps
+    the per-step python loop (used by tests as the reference semantics)."""
     eval_g = dict(params["eval_latents"])
     eval_g["eval_latents"] = jnp.zeros_like(eval_g["eval_latents"])
     eval_g["eval_scale"] = jnp.ones_like(eval_g["eval_scale"])
@@ -104,17 +111,59 @@ def fit_eval_latents(
 
     optimizer = build_eval_latent_optimizer(lr, lr_final, steps)
     opt_state = optimizer.init(params)
-    step_fn = make_eval_latent_step(model, optimizer)
 
-    losses = []
-    for i in range(steps):
-        batch = datamanager.eval_latent_batch(image_idx, sample_region)
-        rng, k = jax.random.split(rng)
-        params, opt_state, total = step_fn(
-            params, opt_state, batch, k, jnp.asarray(float(i))
+    if host_loop:
+        step_fn = make_eval_latent_step(model, optimizer)
+        losses = []
+        for i in range(steps):
+            batch = datamanager.eval_latent_batch(image_idx, sample_region)
+            rng, k = jax.random.split(rng)
+            params, opt_state, total = step_fn(
+                params, opt_state, batch, k, jnp.asarray(float(i))
+            )
+            losses.append(float(total))
+        return params, losses
+
+    from neusky_tpu.models.pipeline import eval_latent_loss_fn
+
+    batches = [
+        datamanager.eval_latent_batch(image_idx, sample_region)
+        for _ in range(steps)
+    ]
+    # per-step leaves stacked on a new leading axis; loop-invariant leaves
+    # (cameras pytree, image_indices) passed once
+    const_keys = {"cameras", "image_indices"}
+    stacked = {
+        k: np.stack([np.asarray(b[k]) for b in batches])
+        for k in batches[0]
+        if k not in const_keys
+    }
+    const = {k: batches[0][k] for k in const_keys if k in batches[0]}
+
+    def run(params, opt_state, stacked, const, rng):
+        def body(carry, xs):
+            p, o = carry
+            i, bstep = xs
+            k = jax.random.fold_in(rng, i)
+            batch = {**bstep, **const}
+
+            def loss(q):
+                return eval_latent_loss_fn(
+                    model, q, k, batch, jnp.asarray(i, jnp.float32)
+                )
+
+            total, grads = jax.value_and_grad(loss)(p)
+            updates, o = optimizer.update(grads, o, p)
+            p = jax.tree_util.tree_map(lambda a, u: a + u, p, updates)
+            return (p, o), total
+
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), (jnp.arange(steps), stacked)
         )
-        losses.append(float(total))
-    return params, losses
+        return params, losses
+
+    params, losses = jax.jit(run)(params, opt_state, stacked, const, rng)
+    return params, [float(x) for x in np.asarray(losses)]
 
 
 def eval_image_metrics(
@@ -128,7 +177,15 @@ def eval_image_metrics(
     mask_to_building: bool = False,
 ) -> Dict[str, Any]:
     """One image's metric dict (+ render maps), with the reference's
-    rays/sec + fps throughput fields."""
+    rays/sec + fps throughput fields.
+
+    ``mask_to_building``: multiplies pred/gt by mask channel 0 before
+    metrics (``neusky_model.py:1135-1154``).  Channel 0 carries the
+    NeRF-OSR *test eval (building) mask* ONLY on the test split
+    (``data/dataset.py`` substitutes it there); on train/val splits it is
+    the static mask — only set this flag when the datamanager's eval data
+    is the test split, as the NeRF-OSR protocol does
+    (``data/nerfosr_eval.py::compare_image``)."""
     rb, batch = datamanager.eval_image_bundle(image_idx)
     cams = datamanager.eval_cameras or datamanager.train_cameras
     h, w = cams.height, cams.width

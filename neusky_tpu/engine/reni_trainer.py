@@ -35,6 +35,8 @@ class RENITrainerConfig:
     kl_weight: float = 1e-5
     num_steps: int = 50000
     pixels_per_step: int = 2048
+    steps_per_call: int = 100
+    """Adam steps folded into one jitted ``lax.scan`` dispatch."""
     seed: int = 0
 
 
@@ -72,18 +74,26 @@ class RENITrainer:
         self.opt_state = self.optimizer.init(self.params)
         self.step = 0
         self.history = []
+        # corpus lives on device ONCE; always passed as jit arguments —
+        # closed-over (traced-constant) arrays are re-staged through the
+        # device tunnel on every call (PERF.md root cause 7)
+        self._dirs_dev = jax.device_put(jnp.asarray(self.directions))
+        self._targets_dev = jax.device_put(jnp.asarray(self.targets))
         self._step_fn = self._make_step()
 
     def _make_step(self):
         field = self.field
         cfg = self.config
-        dirs_all = jnp.asarray(self.directions)
-        targets_all = jnp.asarray(self.targets)
         n_pix = self.directions.shape[0]
+        num_images = self.num_images
 
-        def loss_fn(params, rng):
+        def loss_fn(params, rng, dirs_all, targets_all):
+            # a batch of (image, pixel) pairs — every image's latent trains
+            # every step, per-sample latents ride the decoder's [M, D, 3] path
             k_img, k_pix = jax.random.split(rng)
-            img = jax.random.randint(k_img, (), 0, self.num_images)
+            img = jax.random.randint(
+                k_img, (cfg.pixels_per_step,), 0, num_images
+            )
             pix = jax.random.randint(k_pix, (cfg.pixels_per_step,), 0, n_pix)
             d = dirs_all[pix]
             gt = targets_all[img, pix]
@@ -95,29 +105,112 @@ class RENITrainer:
             kl = jnp.mean(params["latents"] ** 2)
             return recon + cfg.kl_weight * kl, {"recon": recon, "kl": kl}
 
-        def step_fn(params, opt_state, rng):
-            (total, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, rng)
-            updates, opt_state = self.optimizer.update(grads, opt_state, params)
-            params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
-            aux["total"] = total
-            return params, opt_state, aux
+        def step_fn(params, opt_state, rng, dirs_all, targets_all):
+            def scan_body(carry, k):
+                params, opt_state = carry
+                (total, aux), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(params, k, dirs_all, targets_all)
+                updates, opt_state = self.optimizer.update(
+                    grads, opt_state, params
+                )
+                params = jax.tree_util.tree_map(
+                    lambda p, u: p + u, params, updates
+                )
+                aux["total"] = total
+                return (params, opt_state), aux
 
-        return jax.jit(step_fn)
+            keys = jax.random.split(rng, cfg.steps_per_call)
+            (params, opt_state), auxs = jax.lax.scan(
+                scan_body, (params, opt_state), keys
+            )
+            last = jax.tree_util.tree_map(lambda a: a[-1], auxs)
+            return params, opt_state, last
+
+        return jax.jit(step_fn, donate_argnums=(0, 1))
 
     def run(self, num_steps: Optional[int] = None, log_every: int = 500, log_fn=None):
         target = self.step + (num_steps or self.config.num_steps)
+        per_call = self.config.steps_per_call
         while self.step < target:
             self.rng, k = jax.random.split(self.rng)
             self.params, self.opt_state, aux = self._step_fn(
-                self.params, self.opt_state, k
+                self.params, self.opt_state, k,
+                self._dirs_dev, self._targets_dev,
             )
-            self.step += 1
-            if self.step % log_every == 0 or self.step == target:
+            self.step += per_call
+            if (self.step // per_call) % max(1, log_every // per_call) == 0 or (
+                self.step >= target
+            ):
                 rec = {"step": self.step, **{k2: float(v) for k2, v in aux.items()}}
                 self.history.append(rec)
                 if log_fn:
                     log_fn(rec)
         return self.history
+
+    # ------------------------------------------------------------------
+    # evaluation helpers
+
+    def reconstruction_psnr(self, image_idx: int) -> float:
+        """PSNR of the normalised log-HDR reconstruction of one training sky."""
+        z = self.params["latents"][image_idx]
+        out = self.field.apply(self.params["decoder"], self._dirs_dev, z)
+        gt_norm = self.field.normalise(self._targets_dev[image_idx])
+        mse = float(jnp.mean((out["rgb"] - gt_norm) ** 2))
+        # normalised domain is [-1, 1] → peak-to-peak 2
+        return 10.0 * float(np.log10(4.0 / max(mse, 1e-12)))
+
+    def fit_heldout_latents(
+        self,
+        envmaps: np.ndarray,
+        steps: int = 400,
+        lr: float = 1e-1,
+        pixels_per_step: int = 2048,
+        seed: int = 1,
+    ):
+        """Test-time latent fitting on held-out skies with the decoder
+        FROZEN — the generalisation gate for the prior (mirrors how NeuSky
+        consumes the decoder).  Returns (latents [B, D, 3], psnr [B])."""
+        b, h, w, _ = envmaps.shape
+        targets = jax.device_put(jnp.asarray(envmaps.reshape(b, h * w, 3)))
+        dirs = self._dirs_dev
+        assert dirs.shape[0] == h * w, "held-out resolution must match corpus"
+        field = self.field
+        decoder = jax.tree_util.tree_map(
+            jax.lax.stop_gradient, self.params["decoder"]
+        )
+        n_pix = h * w
+        opt = optax.adam(lr)
+        z0 = jnp.zeros((b, self.config.field.latent_dim, 3))
+
+        def run(z, rng, dirs, targets):
+            state = opt.init(z)
+
+            def body(carry, k):
+                z, state = carry
+                pix = jax.random.randint(k, (pixels_per_step,), 0, n_pix)
+
+                def loss(z):
+                    d = dirs[pix]  # [P, 3]
+                    gt = field.normalise(targets[:, pix])  # [B, P, 3]
+                    pred = jax.vmap(
+                        lambda zz: field.apply(decoder, d, zz)["rgb"]
+                    )(z)
+                    return jnp.mean((pred - gt) ** 2)
+
+                g = jax.grad(loss)(z)
+                updates, state = opt.update(g, state, z)
+                return (z + updates, state), None
+
+            (z, _), _ = jax.lax.scan(body, (z, state), jax.random.split(rng, steps))
+            # full-image PSNR per sky
+            pred = jax.vmap(lambda zz: field.apply(decoder, dirs, zz)["rgb"])(z)
+            gt = field.normalise(targets)
+            mse = jnp.mean((pred - gt) ** 2, axis=(1, 2))
+            return z, 10.0 * jnp.log10(4.0 / jnp.maximum(mse, 1e-12))
+
+        z, psnr = jax.jit(run)(z0, jax.random.PRNGKey(seed), dirs, targets)
+        return np.asarray(z), np.asarray(psnr)
 
     def decode_envmap(self, latent: jnp.ndarray, width: int = 128) -> np.ndarray:
         """Latent → HDR envmap [H, W, 3] (BASELINE config[0]:

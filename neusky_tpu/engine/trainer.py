@@ -29,7 +29,12 @@ import numpy as np
 
 from neusky_tpu.data.datamanager import DataManager
 from neusky_tpu.engine import optimizers as opt_mod
-from neusky_tpu.engine.checkpoint import load_checkpoint, save_checkpoint
+from neusky_tpu.engine.checkpoint import (
+    latest_step,
+    load_checkpoint,
+    load_param_subtrees,
+    save_checkpoint,
+)
 from neusky_tpu.models.neusky import NeuSkyModel
 from neusky_tpu.models.pipeline import PipelineConfig
 from neusky_tpu.parallel.mesh import make_train_step
@@ -71,6 +76,7 @@ class Trainer:
         rng = jax.random.PRNGKey(config.seed)
         self.rng, init_rng = jax.random.split(rng)
         self.params = model.init(init_rng)
+        self._load_illumination_prior()
         groups = optimizer_groups or opt_mod.default_neusky_optimizer_groups(
             config.max_num_iterations
         )
@@ -95,6 +101,30 @@ class Trainer:
     def attach_writer(self, writer):
         self.writer = writer
         return self
+
+    def _load_illumination_prior(self):
+        """Restore the frozen RENI++ decoder from a trained prior checkpoint
+        (reference ``neusky_model.py:272-300``: pretrained decoder loaded,
+        mu/logvar latents excluded).  No-op when unconfigured; loud when
+        configured but missing."""
+        prior_dir = getattr(self.model.config, "illumination_prior_dir", None)
+        if not prior_dir:
+            return
+        path = Path(prior_dir)
+        if not path.is_absolute():
+            repo_root = Path(__file__).resolve().parent.parent.parent
+            path = repo_root / path
+        if latest_step(path) is None:
+            print(
+                f"WARNING: illumination_prior_dir={path} has no checkpoint — "
+                "training against an UNTRAINED decoder "
+                "(run tools/train_reni_prior.py to produce one)"
+            )
+            return
+        self.params = load_param_subtrees(
+            path, None, self.params, include=("illumination_decoder",)
+        )
+        print(f"loaded RENI++ prior decoder from {path}")
 
     # ------------------------------------------------------------------
 

@@ -103,6 +103,12 @@ class NeuSkyModelConfig:
         DensityFieldConfig(), DensityFieldConfig(),
     )
     illumination: RENIFieldConfig = RENIFieldConfig()
+    illumination_prior_dir: Optional[str] = None
+    """Directory of a trained RENI++ prior checkpoint (written by
+    ``tools/train_reni_prior.py``).  When set, the trainer surgically
+    restores ``illumination_decoder`` from it at init — the reference's
+    frozen pretrained-decoder load (``neusky_model.py:272-300``).  Relative
+    paths resolve against the repo root."""
     ddf: Optional[DDFModelConfig] = DDFModelConfig()
     num_illumination_directions: int = 512
     illumination_sampler_random_rotation: bool = True

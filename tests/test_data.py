@@ -251,3 +251,49 @@ def test_nerfosr_parser(tmp_path):
     assert out["session_to_indices"] == {0: [0, 1, 2]}
     # crop_to_equal_size honours min principal point: cx=8 → width 16
     assert out["width_height"] == [16, 12]
+
+
+def test_datamanager_native_sampler(scene):
+    """use_native_sampler=True must produce batches with the same layout,
+    dtypes, and mask semantics as the numpy path (and train end-to-end the
+    same way — the trainer consumes the dict blindly)."""
+    from neusky_tpu.data.native_sampler import native_available
+
+    if not native_available():
+        import pytest
+
+        pytest.skip("native sampler not built / no toolchain")
+
+    cfg = DataManagerConfig(
+        pixel_sampler=PixelSamplerConfig(images_per_batch=2, rays_per_image=8),
+        num_sky_rays=8,
+        use_native_sampler=True,
+    )
+    dm = DataManager(cfg, scene["cameras"], scene["images"], scene["masks"])
+    assert dm._native is not None, "native sampler did not engage"
+    ref = DataManager(
+        DataManagerConfig(
+            pixel_sampler=PixelSamplerConfig(images_per_batch=2, rays_per_image=8),
+            num_sky_rays=8,
+        ),
+        scene["cameras"], scene["images"], scene["masks"],
+    ).next_train(0)
+    batch = dm.next_train(0)
+    assert set(batch) == set(ref)
+    for k in ("cam_idx", "pixel_coords", "image", "mask",
+              "image_indices", "ray_image_idx"):
+        assert batch[k].shape == ref[k].shape, k
+        assert batch[k].dtype == ref[k].dtype, k
+    # drawn pixels respect the static mask; gathered rgb matches the source
+    flat_imgs = scene["images"].reshape(scene["images"].shape[0], -1, 3)
+    w = scene["images"].shape[2]
+    ys = (batch["pixel_coords"][:, 0] - 0.5).astype(int)
+    xs = (batch["pixel_coords"][:, 1] - 0.5).astype(int)
+    flat = ys * w + xs
+    assert np.allclose(batch["image"], flat_imgs[batch["cam_idx"], flat])
+    assert (batch["mask"][:, 0] > 0.5).all()
+    # sky rays present and batch feeds the in-graph bundle builder
+    from neusky_tpu.models.pipeline import batch_ray_bundle, batch_sky_bundle
+
+    assert batch_ray_bundle(batch).origins.shape == (16, 3)
+    assert batch_sky_bundle(batch).origins.shape == (8, 3)

@@ -124,6 +124,7 @@ def test_reni_trainer_smoke():
                 num_attention_layers=1, fixed_decoder=False,
             ),
             pixels_per_step=64,
+            steps_per_call=10,
         ),
         envmaps,
     )
@@ -133,3 +134,33 @@ def test_reni_trainer_smoke():
     env = trainer.decode_envmap(trainer.params["latents"][0], width=16)
     assert env.shape == (8, 16, 3)
     assert (env > 0).all()
+
+
+def test_sky_generator_and_heldout_fit():
+    """Procedural sky corpus trains the prior and a frozen-decoder
+    held-out latent fit improves over the zero latent (the generalisation
+    gate used by tools/train_reni_prior.py)."""
+    from neusky_tpu.data.sky_generator import generate_sky_corpus
+    from neusky_tpu.engine.reni_trainer import RENITrainer, RENITrainerConfig
+    from neusky_tpu.fields.reni import RENIFieldConfig
+
+    corpus = generate_sky_corpus(6, width=16, seed=0)
+    assert corpus.shape == (6, 8, 16, 3) and np.isfinite(corpus).all()
+    trainer = RENITrainer(
+        RENITrainerConfig(
+            field=RENIFieldConfig(
+                latent_dim=4, hidden_features=16, num_attention_heads=2,
+                num_attention_layers=1, fixed_decoder=False,
+            ),
+            pixels_per_step=128,
+            steps_per_call=25,
+        ),
+        corpus[:4],
+    )
+    trainer.run(num_steps=50, log_every=25)
+    psnr_train = trainer.reconstruction_psnr(0)
+    assert np.isfinite(psnr_train)
+    z, psnr = trainer.fit_heldout_latents(
+        corpus[4:], steps=30, pixels_per_step=128
+    )
+    assert z.shape == (2, 4, 3) and np.isfinite(psnr).all()

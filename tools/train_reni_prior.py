@@ -1,0 +1,164 @@
+"""Train + validate the RENI++ sky prior on procedural HDR skies.
+
+Produces the frozen pretrained decoder the flagship method loads at init
+(reference ``neusky_model.py:272-300``; ``configs/neusky_config.py``'s
+``illumination_prior_dir``).  Pipeline:
+
+  1. generate a Preetham-sky corpus (``data/sky_generator.py``) — train +
+     held-out splits;
+  2. train the autodecoder (``engine/reni_trainer.py``) on the train split;
+  3. gate: mean train reconstruction PSNR and held-out frozen-decoder
+     latent-fit PSNR (the exact way NeuSky consumes the decoder), plus the
+     SO(2) equivariance property;
+  4. save ``{"illumination_decoder": ...}`` as an orbax checkpoint that
+     ``Trainer._load_illumination_prior`` restores surgically.
+
+Usage:
+    python tools/train_reni_prior.py                   # canonical (TPU, ~1 h)
+    python tools/train_reni_prior.py --quick           # smoke (CPU, ~2 min)
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--num-skies", type=int, default=512)
+    ap.add_argument("--holdout", type=int, default=32)
+    ap.add_argument("--width", type=int, default=128)
+    ap.add_argument("--steps", type=int, default=40000)
+    ap.add_argument("--pixels-per-step", type=int, default=2048)
+    ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--latent-lr", type=float, default=1e-2)
+    ap.add_argument("--output", default="checkpoints/reni_prior_latent100")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--quick", action="store_true",
+                    help="tiny decoder + corpus, CPU-friendly smoke run")
+    ap.add_argument("--train-psnr-gate", type=float, default=28.0)
+    ap.add_argument("--holdout-psnr-gate", type=float, default=22.0)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from neusky_tpu.configs.neusky_config import neusky_model_config
+    from neusky_tpu.data.sky_generator import generate_sky_corpus
+    from neusky_tpu.engine.checkpoint import save_checkpoint
+    from neusky_tpu.engine.reni_trainer import RENITrainer, RENITrainerConfig
+    from neusky_tpu.fields.reni import RENIFieldConfig
+
+    field_cfg = dataclasses.replace(
+        neusky_model_config(1, 1).illumination, fixed_decoder=False
+    )
+    if args.quick:
+        field_cfg = dataclasses.replace(
+            field_cfg, latent_dim=8, hidden_features=32,
+            num_attention_heads=2, num_attention_layers=2,
+        )
+        args.num_skies, args.holdout, args.width = 24, 4, 32
+        args.steps, args.pixels_per_step = 400, 512
+        args.train_psnr_gate, args.holdout_psnr_gate = 10.0, 8.0
+        args.output = args.output + "_quick"
+
+    t0 = time.time()
+    total = args.num_skies + args.holdout
+    print(f"generating {total} procedural skies at {args.width}px ...")
+    corpus = generate_sky_corpus(total, width=args.width, seed=args.seed)
+    train_skies, heldout_skies = corpus[: args.num_skies], corpus[args.num_skies:]
+    print(f"  done in {time.time()-t0:.1f}s; "
+          f"radiance range [{corpus.min():.2e}, {corpus.max():.2e}]")
+
+    trainer = RENITrainer(
+        RENITrainerConfig(
+            field=field_cfg,
+            lr=args.lr,
+            latent_lr=args.latent_lr,
+            num_steps=args.steps,
+            pixels_per_step=args.pixels_per_step,
+            steps_per_call=min(100, args.steps),
+            seed=args.seed,
+        ),
+        train_skies,
+    )
+
+    def log(rec):
+        print(json.dumps(rec))
+
+    t0 = time.time()
+    trainer.run(log_every=max(args.steps // 20, 1), log_fn=log)
+    train_time = time.time() - t0
+    print(f"trained {trainer.step} steps in {train_time:.1f}s")
+
+    # --- gates -----------------------------------------------------------
+    sample = range(0, args.num_skies, max(1, args.num_skies // 16))
+    train_psnrs = [trainer.reconstruction_psnr(i) for i in sample]
+    train_psnr = float(np.mean(train_psnrs))
+
+    _, heldout_psnrs = trainer.fit_heldout_latents(
+        heldout_skies, steps=250, pixels_per_step=args.pixels_per_step
+    )
+    heldout_psnr = float(np.mean(heldout_psnrs))
+
+    # SO(2) equivariance: decoding rotated latents == rotating the decode
+    from neusky_tpu.core.spherical import rot_z
+    from neusky_tpu.sampling.illumination import EquirectangularSampler
+
+    sampler = EquirectangularSampler(width=32)
+    d = jnp.asarray(np.asarray(sampler()).reshape(-1, 3))
+    z = trainer.params["latents"][0]
+    rot = jnp.asarray(rot_z(np.pi / 3))
+    out_rot_dirs = trainer.field.apply(
+        trainer.params["decoder"], d @ rot.T, z
+    )["rgb"]
+    # f(R d, Z) == f(d, R^T Z): latents are [D, 3] R^3 vectors, z @ R = R^T z
+    z_rot = z @ rot
+    out_rot_lat = trainer.field.apply(trainer.params["decoder"], d, z_rot)["rgb"]
+    equiv_err = float(jnp.max(jnp.abs(out_rot_dirs - out_rot_lat)))
+
+    gates = {
+        "train_recon_psnr": train_psnr,
+        "heldout_fit_psnr": heldout_psnr,
+        "equivariance_max_err": equiv_err,
+        "train_gate": train_psnr >= args.train_psnr_gate,
+        "holdout_gate": heldout_psnr >= args.holdout_psnr_gate,
+        "equivariance_gate": equiv_err < 1e-3,
+        "steps": trainer.step,
+        "train_seconds": train_time,
+        "num_skies": args.num_skies,
+        "width": args.width,
+        "latent_dim": field_cfg.latent_dim,
+    }
+    gates["all_pass"] = bool(
+        gates["train_gate"] and gates["holdout_gate"] and gates["equivariance_gate"]
+    )
+
+    out = Path(args.output)
+    if not out.is_absolute():
+        out = Path(__file__).resolve().parent.parent / out
+    save_checkpoint(
+        out, trainer.step,
+        {"illumination_decoder": trainer.params["decoder"]},
+        {},
+    )
+    (out / "quality.json").write_text(json.dumps(gates, indent=2))
+    print(json.dumps(gates))
+    print(f"saved prior decoder to {out}")
+    if not gates["all_pass"]:
+        print("QUALITY GATES FAILED — prior saved but needs more training")
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
