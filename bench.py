@@ -54,6 +54,22 @@ def main():
         cfg = dataclasses.replace(
             cfg, sdf_field=dataclasses.replace(cfg.sdf_field, use_bf16_compute=True)
         )
+    # A/B knobs for perf experiments (no code edits between runs)
+    if os.environ.get("NEUSKY_VIS_CHUNK", ""):
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, visibility_query_chunk=int(os.environ["NEUSKY_VIS_CHUNK"])
+        )
+    if os.environ.get("NEUSKY_EXACT_TABLE_GRADS", ""):
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg,
+            sdf_field=dataclasses.replace(
+                cfg.sdf_field, stochastic_table_grads=False
+            ),
+        )
     model = NeuSkyModel(cfg)
     pipe = PipelineConfig(
         visibility_train_sampler=DDFSamplerConfig(

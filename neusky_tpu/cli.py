@@ -199,6 +199,11 @@ def _cmd_train_ddf(args, overrides):
 
 
 def cmd_eval(args, overrides):
+    if getattr(args, "protocol", None) == "nerfosr":
+        from neusky_tpu.engine.eval_loop import run_nerfosr_eval
+
+        run_nerfosr_eval(args, overrides)
+        return
     from neusky_tpu.engine.eval_loop import run_eval
 
     run_eval(args, overrides)
@@ -227,6 +232,9 @@ def main(argv=None):
                        help="train on the built-in synthetic sphere scene")
         p.add_argument("--output", default="render.npy")
         p.add_argument("--image-idx", type=int, default=0)
+        p.add_argument("--protocol", default=None, choices=(None, "nerfosr"),
+                       help="eval: run the NeRF-OSR session-holdout "
+                       "relighting benchmark (metrics JSON)")
 
     args, unknown = parser.parse_known_args(argv)
     overrides = []

@@ -51,6 +51,7 @@ def neusky_model_config(
             use_grid_feature=True, inside_outside=False,
             predict_shininess=False, hash=SDF_HASH,
             contraction_order="l2",
+            stochastic_table_grads=True,
         ),
         proposal=ProposalSamplerConfig(
             num_proposal_samples=(256, 96), num_final_samples=48,

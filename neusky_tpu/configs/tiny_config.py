@@ -31,6 +31,7 @@ def tiny_model_config(num_train_data: int = 6, num_eval_data: int = 2) -> NeuSky
         sdf_field=SDFAlbedoFieldConfig(
             num_layers=2, hidden_dim=64, geo_feat_dim=32,
             num_layers_color=2, hidden_dim_color=64, bias=0.3, hash=_TINY_HASH,
+            stochastic_table_grads=True,  # e2e coverage of the canonical path
         ),
         proposal=ProposalSamplerConfig(num_proposal_samples=(32, 16), num_final_samples=12),
         proposal_fields=(

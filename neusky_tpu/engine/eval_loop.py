@@ -94,6 +94,7 @@ def fit_eval_latents(
     lr_final: float = 1e-7,
     sample_region: str = "full_image",
     host_loop: bool = False,
+    batch_fn=None,
 ):
     """Test-time latent optimisation: resets eval latents to zero / scales
     to one, then ``steps`` Adam updates on the sky+RGB losses with the
@@ -103,7 +104,14 @@ def fit_eval_latents(
     stacked, and the whole Adam loop runs as ONE jitted ``lax.scan`` —
     a single dispatch + a single device→host transfer (the loss trace),
     instead of 250 round trips (SURVEY §7.3-6).  ``host_loop=True`` keeps
-    the per-step python loop (used by tests as the reference semantics)."""
+    the per-step python loop (used by tests as the reference semantics).
+
+    ``batch_fn`` (optional, () → batch dict): overrides the per-step batch
+    source — the NeRF-OSR protocol passes
+    ``lambda: protocol.lighting_eval_batch("optimise")`` so latents fit on
+    the session-holdout pool (``neusky_datamanager.py:309-329``)."""
+    if batch_fn is None:
+        batch_fn = lambda: datamanager.eval_latent_batch(image_idx, sample_region)
     eval_g = dict(params["eval_latents"])
     eval_g["eval_latents"] = jnp.zeros_like(eval_g["eval_latents"])
     eval_g["eval_scale"] = jnp.ones_like(eval_g["eval_scale"])
@@ -116,7 +124,7 @@ def fit_eval_latents(
         step_fn = make_eval_latent_step(model, optimizer)
         losses = []
         for i in range(steps):
-            batch = datamanager.eval_latent_batch(image_idx, sample_region)
+            batch = batch_fn()
             rng, k = jax.random.split(rng)
             params, opt_state, total = step_fn(
                 params, opt_state, batch, k, jnp.asarray(float(i))
@@ -126,13 +134,11 @@ def fit_eval_latents(
 
     from neusky_tpu.models.pipeline import eval_latent_loss_fn
 
-    batches = [
-        datamanager.eval_latent_batch(image_idx, sample_region)
-        for _ in range(steps)
-    ]
-    # per-step leaves stacked on a new leading axis; loop-invariant leaves
-    # (cameras pytree, image_indices) passed once
-    const_keys = {"cameras", "image_indices"}
+    batches = [batch_fn() for _ in range(steps)]
+    # per-step leaves stacked on a new leading axis; only the cameras pytree
+    # is loop-invariant (image_indices varies: the protocol batches rotate
+    # through session latent slots)
+    const_keys = {"cameras"}
     stacked = {
         k: np.stack([np.asarray(b[k]) for b in batches])
         for k in batches[0]
@@ -239,6 +245,139 @@ def average_eval_metrics(
         per_image.append(m)
     keys = [k for k in per_image[0] if per_image[0][k] is not None]
     return {k: float(np.mean([m[k] for m in per_image])) for k in keys}
+
+
+# ---------------------------------------------------------------------------
+# NeRF-OSR relighting protocol (session holdout → compare, building-masked)
+
+
+def run_nerfosr_protocol(
+    model: NeuSkyModel,
+    params,
+    protocol,
+    rng: jax.Array,
+    fit_steps: int = 250,
+    chunk_size: int = 4096,
+    least_squares_scale: bool = False,
+) -> Dict[str, Any]:
+    """The full NeRF-OSR relighting benchmark
+    (``get_average_eval_image_metrics``, ``neusky_pipeline.py:392-444``):
+
+      1. fit eval latents (one slot per lighting session) on the
+         session-holdout optimise pool;
+      2. render every compare image with its session's fitted latent;
+      3. metrics restricted to the NeRF-OSR building mask (channel 0 of the
+         test-split mask), optional global least-squares scale
+         (``neusky_pipeline.py:330-331``).
+    """
+    rng, k_fit = jax.random.split(rng)
+    params, fit_losses = fit_eval_latents(
+        model, params, None, k_fit, steps=fit_steps,
+        batch_fn=lambda: protocol.lighting_eval_batch("optimise"),
+    )
+
+    chunk_fn, chunk_size = make_render_chunk_fn(model, chunk_size)
+    h, w = protocol.cameras.height, protocol.cameras.width
+    per_image = []
+    for i in range(len(protocol.compare_indices)):
+        image_idx, slot, rb, gt_batch = protocol.compare_image(i)
+        rng, k = jax.random.split(rng)
+        t0 = time.perf_counter()
+        out = render_camera(model, params, rb, slot, k, chunk_fn, chunk_size)
+        dt = time.perf_counter() - t0
+        pred = out["rgb"].reshape(h, w, 3)
+        gt = np.asarray(gt_batch["image"]).reshape(h, w, 3)
+        m = np.asarray(gt_batch["mask"]).reshape(h, w, 4)[..., 0:1]
+        pred = pred * m
+        gt = gt * m
+        if least_squares_scale:
+            from neusky_tpu.data.nerfosr_eval import global_least_squares_scale
+
+            pred = np.clip(global_least_squares_scale(pred, gt), 0.0, None)
+        per_image.append(
+            {
+                "image_idx": int(image_idx),
+                "session": int(slot),
+                "psnr": M.psnr(pred, gt),
+                "ssim": M.ssim_image(pred, gt),
+                "lpips": M.lpips_image(pred, gt),
+                "mse": M.mse(pred, gt),
+                "num_rays_per_sec": h * w / dt,
+            }
+        )
+    keys = [k for k in ("psnr", "ssim", "lpips", "mse", "num_rays_per_sec")
+            if per_image and per_image[0][k] is not None]
+    return {
+        "per_image": per_image,
+        "mean": {k: float(np.mean([p[k] for p in per_image])) for k in keys},
+        "fit_loss_first": fit_losses[0],
+        "fit_loss_last": fit_losses[-1],
+        "num_sessions": protocol.num_sessions,
+    }
+
+
+def run_nerfosr_eval(args, overrides):
+    """CLI: checkpoint → session-holdout latent fit → compare-set metrics
+    JSON (``cli eval neusky --data ... --protocol nerfosr``)."""
+    import dataclasses as dc
+
+    from neusky_tpu.cli import _apply_overrides
+    from neusky_tpu.configs import METHOD_REGISTRY
+    from neusky_tpu.data.dataparsers.nerfosr import (
+        NeRFOSRDataparserConfig,
+        parse_nerfosr_scene,
+    )
+    from neusky_tpu.data.dataset import NeuSkyDataset
+    from neusky_tpu.data.nerfosr_eval import NeRFOSREvalProtocol
+    from neusky_tpu.engine.checkpoint import load_param_subtrees
+
+    spec = METHOD_REGISTRY[args.method]
+    bundle = _apply_overrides(spec.build(), overrides)
+    model_config = bundle["model_config"]
+
+    parser_cfg = NeRFOSRDataparserConfig(data=args.data, scene=args.scene)
+    train_po = parse_nerfosr_scene(parser_cfg, "train")
+    test_po = parse_nerfosr_scene(parser_cfg, "test")
+    test_data = NeuSkyDataset(test_po, "test", args.downscale).load()
+
+    protocol = NeRFOSREvalProtocol(
+        cameras=test_data["cameras"],
+        images=test_data["images"],
+        masks=test_data["masks"],
+        session_to_indices=test_po["session_to_indices"],
+        indices_to_session=test_po["indices_to_session"],
+        session_holdout_indices=test_po["session_holdout_indices"],
+        test_eval_mask_indices=sorted(test_po["test_eval_mask_dict"].keys()),
+    )
+
+    # eval-latent slots are per lighting session; train latents must match
+    # the training run's shape for the checkpoint restore
+    model_config = dc.replace(
+        model_config,
+        num_train_data=len(train_po["image_filenames"]),
+        num_eval_data=protocol.num_sessions,
+    )
+    model = NeuSkyModel(model_config)
+    params = model.init(jax.random.PRNGKey(0))
+    if not args.load_dir:
+        raise SystemExit("--load-dir required for the nerfosr protocol")
+    # everything except eval latents (they are re-fit from zero, and their
+    # slot count differs from the training run's)
+    params = load_param_subtrees(
+        Path(args.load_dir), None, params, exclude=("eval_latents",)
+    )
+
+    result = run_nerfosr_protocol(
+        model, params, protocol, jax.random.PRNGKey(1),
+        least_squares_scale=model_config.optimise_compare_eval_scale,
+    )
+    out_path = Path(getattr(args, "output", "") or "nerfosr_eval.json")
+    if out_path.suffix != ".json":
+        out_path = out_path.with_suffix(".json")
+    out_path.write_text(json.dumps(result, indent=2))
+    print(json.dumps(result["mean"]))
+    print(f"wrote {out_path}")
+    return result
 
 
 # ---------------------------------------------------------------------------

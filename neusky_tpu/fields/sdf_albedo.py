@@ -60,6 +60,12 @@ class SDFAlbedoFieldConfig:
     # reverse-mode grad-of-grad structure crashes the TPU compiler at full
     # model scale (SIGILL in tpu_compile_helper) while forward-over-reverse
     # compiles in ~85s.
+    stochastic_table_grads: bool = False
+    """Sample ONE corner per (sample, level) for the hash-table gradient
+    (unbiased, 8x fewer scatter rows — scatter-add is the dominant step
+    cost on TPU, PERF.md).  Forward values, analytic spatial gradients, and
+    position cotangents stay EXACT.  Enabled in the canonical config;
+    requires the caller to thread a per-step ``stoch_salt``."""
     use_bf16_compute: bool = False
     """bf16 matmuls (fp32 params/accumulation) in the geometry and colour
     MLPs — 2× MXU rate, half the activation bandwidth.  SDF values and
@@ -144,7 +150,12 @@ class SDFAlbedoField(nn.Module):
 
     # ---- geometry ----
 
-    def _geo_input(self, positions: jnp.ndarray, custom_take: bool = False) -> jnp.ndarray:
+    def _geo_input(
+        self,
+        positions: jnp.ndarray,
+        custom_take: bool = False,
+        stoch_salt=None,
+    ) -> jnp.ndarray:
         c = self.config
         feats = [positions]
         if c.use_position_encoding:
@@ -156,7 +167,12 @@ class SDFAlbedoField(nn.Module):
             )
         if c.use_grid_feature:
             x01 = contraction_to_unit_cube(positions, c.contraction_order)
-            feats.append(self.encoding(self.hash_table, x01, custom_take=custom_take))
+            feats.append(
+                self.encoding(
+                    self.hash_table, x01, custom_take=custom_take,
+                    stoch_salt=stoch_salt,
+                )
+            )
         return jnp.concatenate(feats, axis=-1)
 
     def _geo_mlp(self, h: jnp.ndarray) -> jnp.ndarray:
@@ -168,17 +184,20 @@ class SDFAlbedoField(nn.Module):
         return h
 
     def geo(
-        self, positions: jnp.ndarray, custom_take: bool = False
+        self, positions: jnp.ndarray, custom_take: bool = False, stoch_salt=None
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """positions [M, 3] → (sdf [M, 1], geo_feat [M, G])."""
-        h = self._geo_mlp(self._geo_input(positions, custom_take))
+        h = self._geo_mlp(self._geo_input(positions, custom_take, stoch_salt))
         return h[..., :1], h[..., 1:]
 
-    def sdf_only(self, positions: jnp.ndarray) -> jnp.ndarray:
+    def sdf_only(self, positions: jnp.ndarray, stoch_salt=None) -> jnp.ndarray:
         """Reference ``get_sdf_at_pos`` (``sdf_albedo_field.py:169-174``).
 
-        First-order reverse-mode context → Pallas-backed table gather."""
-        return self.geo(positions.reshape(-1, 3), custom_take=True)[0]
+        First-order reverse-mode context → Pallas-backed table gather.
+        ``stoch_salt``: 1-corner stochastic table gradient (exact value and
+        position cotangent — the level-set loss path stays exact)."""
+        return self.geo(positions.reshape(-1, 3), custom_take=True,
+                        stoch_salt=stoch_salt)[0]
 
     def inv_s(self) -> jnp.ndarray:
         return jnp.clip(jnp.exp(self.variance * 10.0), 1e-6, 1e6)
@@ -210,6 +229,7 @@ class SDFAlbedoField(nn.Module):
         ray_samples: RaySamples,
         return_alphas: bool = False,
         cos_anneal_ratio: float = 1.0,
+        stoch_salt=None,
     ) -> dict:
         """Per-sample outputs (reference ``get_outputs``,
         ``sdf_albedo_field.py:211-269``): sdf, gradient, normal, albedo
@@ -217,7 +237,7 @@ class SDFAlbedoField(nn.Module):
         n, s = ray_samples.num_rays, ray_samples.num_samples
         positions = ray_samples.start_positions().reshape(-1, 3)
 
-        sdf, geo_feat, gradients = self.geo_with_grad(positions)
+        sdf, geo_feat, gradients = self.geo_with_grad(positions, stoch_salt)
 
         colours = self.colour(positions, geo_feat)
         if self.config.predict_shininess:
@@ -250,7 +270,7 @@ class SDFAlbedoField(nn.Module):
             )
         return out
 
-    def geo_with_grad(self, positions: jnp.ndarray):
+    def geo_with_grad(self, positions: jnp.ndarray, stoch_salt=None):
         """(sdf, geo_feat, d sdf/d position) in one combined pass.
 
         ``gradient_mode="reverse"``: one extra ``jax.grad`` reverse pass of
@@ -265,7 +285,7 @@ class SDFAlbedoField(nn.Module):
         """
         if self.config.gradient_mode == "forward":
             if self.config.use_grid_feature:
-                return self._geo_with_grad_analytic(positions)
+                return self._geo_with_grad_analytic(positions, stoch_salt)
             def geo_fn(p):
                 return self.geo(p)
 
@@ -285,7 +305,7 @@ class SDFAlbedoField(nn.Module):
         gradients = jax.grad(jax.checkpoint(sdf_sum))(positions)
         return sdf, geo_feat, gradients
 
-    def _geo_with_grad_analytic(self, positions: jnp.ndarray):
+    def _geo_with_grad_analytic(self, positions: jnp.ndarray, stoch_salt=None):
         """Forward-mode gradient with *analytic* encode derivatives.
 
         The hash gather runs through a custom-VJP encode (Pallas
@@ -301,7 +321,9 @@ class SDFAlbedoField(nn.Module):
             return contraction_to_unit_cube(p, c.contraction_order)
 
         x01 = contract_fn(positions)
-        feats, dfeats_dx01 = self.encoding.encode_with_dx(self.hash_table, x01)
+        feats, dfeats_dx01 = self.encoding.encode_with_dx(
+            self.hash_table, x01, stoch_salt=stoch_salt
+        )
 
         # d(encode)/d(position) = dfeats_dx01 · J_contraction
         dfeats_dpos = []

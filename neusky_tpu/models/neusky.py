@@ -294,6 +294,14 @@ class NeuSkyModel:
         )
         return aabb_collider(ray_bundle, aabb, c.collider_near)
 
+    def _field_salt(self, rng: Optional[jax.Array]):
+        """Per-step salt for the stochastic-corner SDF table gradients
+        (``ops/hashgrid.py::_level_encode_stoch``); None → exact backward
+        (eval paths, or ``stochastic_table_grads=False``)."""
+        if rng is None or not self.field.config.stochastic_table_grads:
+            return None
+        return jax.random.bits(rng, dtype=jnp.uint32)
+
     def density_fns(self, params, rng: Optional[jax.Array] = None):
         """Proposal density callables.  With ``rng`` (training contexts),
         each field gets a subkey enabling the stochastic-corner table
@@ -393,6 +401,7 @@ class NeuSkyModel:
         sigmoid_scale: jnp.ndarray,
         stop_sdf_gradients: bool,
         compute_sdf_at_termination: bool,
+        stoch_salt: Optional[jnp.ndarray] = None,
     ) -> dict:
         """DDF visibility per (ray, light direction)
         (``compute_visibility``, ``neusky_model.py:1624-1778``).
@@ -507,7 +516,9 @@ class NeuSkyModel:
                 term_points = tp.reshape(-1, 3)
 
             def sdf_query(p):
-                return self.field.apply(field_params, p, method=self.field.sdf_only)
+                return self.field.apply(
+                    field_params, p, stoch_salt, method=self.field.sdf_only
+                )
 
             if not c.sdf_query_chunk:
                 sdf_at_term = sdf_query(term_points)
@@ -561,8 +572,10 @@ class NeuSkyModel:
         pos = pos + (jax.random.uniform(k1, pos.shape) - 0.5) * gap
         dirs = jax.random.normal(k2, pos.shape)
         dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+        k_salt = jax.random.split(k2)[0]
         sdf, _, grad = self.field.apply(
-            params["fields"], pos, method=self.field.geo_with_grad
+            params["fields"], pos, self._field_salt(k_salt),
+            method=self.field.geo_with_grad,
         )
         inv_s = jnp.clip(
             jnp.exp(params["fields"]["params"]["variance"] * 10.0), 1e-6, 1e6
@@ -602,6 +615,7 @@ class NeuSkyModel:
         )
         field_out = self.field.apply(
             params["fields"], rs, True, c.cos_anneal_ratio,
+            self._field_salt(k_stoch if train else None),
             method=self.field.field_outputs,
         )
         weights, trans = weights_and_transmittance_from_alphas(field_out["alpha"])
@@ -630,6 +644,7 @@ class NeuSkyModel:
                 params, rs_vis, p2p_vis, illum_dirs, thr, sig_scale,
                 stop_sdf_gradients=stop_sdf,
                 compute_sdf_at_termination=c.losses.sdf_level_set_visibility,
+                stoch_salt=self._field_salt(k_stoch if train else None),
             )
             visibility = vis_dict["visibility"]
 
@@ -707,6 +722,7 @@ class NeuSkyModel:
         )
         field_out = self.field.apply(
             params["fields"], rs, True, c.cos_anneal_ratio,
+            self._field_salt(None if stop_gradients else k_stoch),
             method=self.field.field_outputs,
         )
         weights, _ = weights_and_transmittance_from_alphas(field_out["alpha"])

@@ -188,6 +188,7 @@ class HashGridEncoding:
         x: jnp.ndarray,
         custom_take: bool = False,
         stoch_u: Optional[jnp.ndarray] = None,
+        stoch_salt: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         """Encode positions. x: [N, 3] in [0,1] → [N, L*F].
 
@@ -195,6 +196,12 @@ class HashGridEncoding:
         gradient (exact forward, one sampled scatter row per sample/level
         in backward — see ``take_interp_stoch``; only valid where positions
         carry no gradient).
+
+        ``stoch_salt`` (uint32 scalar, requires ``custom_take``): the
+        residual-free custom-take path with a stochastic-corner TABLE
+        gradient — exact forward AND exact position cotangent, one scatter
+        row per sample/level (``_level_encode_stoch``).  Pass a fresh salt
+        per training step; ``None`` → exact 8-corner table gradient.
 
         ``custom_take=True`` additionally makes each level's encode a
         single custom-VJP op whose only residual is the positions —
@@ -213,6 +220,13 @@ class HashGridEncoding:
             from neusky_tpu.ops.hashgrid_pallas import take_interp_stoch
         outs = []
         for lvl in range(c.num_levels):
+            if custom_take and stoch_u is None and stoch_salt is not None:
+                # stochastic-corner TABLE grad, exact forward + position
+                # cotangent (8× fewer scatter rows)
+                outs.append(
+                    _level_encode_stoch(self, lvl, table[lvl], xt, stoch_salt)
+                )
+                continue
             if custom_take and stoch_u is None:
                 outs.append(_level_encode(self, lvl, table[lvl], xt))
                 continue
@@ -230,9 +244,18 @@ class HashGridEncoding:
 
 
     def encode_with_dx(
-        self, table: jnp.ndarray, x: jnp.ndarray, custom_take: bool = True
+        self,
+        table: jnp.ndarray,
+        x: jnp.ndarray,
+        custom_take: bool = True,
+        stoch_salt: Optional[jnp.ndarray] = None,
     ):
         """Encode + analytic position derivative.
+
+        ``stoch_salt`` (uint32 scalar): stochastic-corner TABLE gradient —
+        forward and the analytic dx stay exact; only the backward scatter
+        samples one uniform corner per sample/level at 8× weight
+        (``_level_encode_dx_stoch``).
 
         x: [N, 3] in [0,1] → (out [N, L*F], dout_dx [N, 3, L*F]).
 
@@ -247,6 +270,14 @@ class HashGridEncoding:
         outs = []
         douts = [[], [], []]
         for lvl in range(c.num_levels):
+            if custom_take and stoch_salt is not None:
+                o, d0, d1, d2 = _level_encode_dx_stoch(
+                    self, lvl, table[lvl], xt, stoch_salt
+                )
+                outs.append(o)
+                for a, d in enumerate((d0, d1, d2)):
+                    douts[a].append(d)
+                continue
             if custom_take:
                 o, d0, d1, d2 = _level_encode_dx(self, lvl, table[lvl], xt)
                 outs.append(o)
@@ -365,3 +396,102 @@ def _level_encode_dx_bwd(enc, lvl, res, gs):
 
 
 _level_encode_dx.defvjp(_level_encode_dx_fwd, _level_encode_dx_bwd)
+
+
+# ---------------------------------------------------------------------------
+# stochastic-corner table gradients: EXACT forward, one sampled scatter row
+# per (sample, level) in backward — 8× fewer scatter rows.  Unbiased: the
+# corner is drawn from a distribution independent of the cotangent; the
+# per-step ``salt`` decorrelates draws across steps so even a position
+# queried every step receives the correct expected gradient.  Scatter-add
+# runs at ~100M rows/s on this chip (trace, PERF.md) and dominates the
+# training step, so row count IS the cost model.
+
+
+def _cheap_hash_u(n: int, lvl: int, salt: jnp.ndarray) -> jnp.ndarray:
+    """[N] uniforms in [0, 1) from (lane index, level, salt) — Wang-style
+    integer mix; quality is ample for corner sampling."""
+    x = jnp.arange(n, dtype=jnp.uint32)
+    x = x * jnp.uint32(0x9E3779B9) + jnp.uint32((lvl * 0x85EBCA6B) & 0xFFFFFFFF)
+    x = x ^ salt.astype(jnp.uint32)
+    x = (x ^ (x >> 16)) * jnp.uint32(0x7FEB352D)
+    x = (x ^ (x >> 15)) * jnp.uint32(0x846CA68B)
+    x = x ^ (x >> 16)
+    return x.astype(jnp.float32) * (1.0 / 4294967296.0)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _level_encode_stoch(enc: "HashGridEncoding", lvl: int, t2, xt, salt):
+    """= ``_level_encode`` forward; backward scatters ONE corner per sample
+    (importance-sampled ~ Categorical(W), value g·ΣW — the trilinear ΣW=1
+    case cancels exactly).  Position cotangent stays EXACT (it is analytic
+    VPU math + a re-gather, no scatter)."""
+    idx, W, _ = enc._level_iw(xt, lvl, need_dw=False)
+    feats = jnp.take(t2, idx, axis=1)  # [F, 8, N]
+    return jnp.sum(W.astype(t2.dtype)[None] * feats, axis=1)
+
+
+def _level_encode_stoch_fwd(enc, lvl, t2, xt, salt):
+    return _level_encode_stoch(enc, lvl, t2, xt, salt), (t2, xt, salt)
+
+
+def _level_encode_stoch_bwd(enc, lvl, res, g):
+    t2, xt, salt = res
+    idx, W, dW = enc._level_iw(xt, lvl, need_dw=True)
+    n = xt.shape[1]
+    u = _cheap_hash_u(n, lvl, salt)
+    w = W.astype(g.dtype)
+    wsum = jnp.sum(w, axis=0)  # [N] (≈1 trilinear)
+    cdf = jnp.cumsum(w, axis=0)
+    c = jnp.clip(
+        jnp.sum((cdf < (u * wsum)[None, :]).astype(jnp.int32), axis=0), 0, 7
+    )
+    rows = jnp.take_along_axis(idx, c[None, :], axis=0)[0]  # [N]
+    d = _scatter_ft(rows, g * wsum[None, :], t2.shape[1])
+    # exact position cotangent (identical to _level_encode_bwd)
+    feats = jnp.take(t2, idx, axis=1)
+    gf = jnp.sum(g[:, None, :] * feats, axis=0)  # [8, N]
+    dxt = jnp.sum(dW.astype(g.dtype) * gf[None], axis=1)  # [3, N]
+    return d, dxt, jnp.zeros_like(salt)
+
+
+_level_encode_stoch.defvjp(_level_encode_stoch_fwd, _level_encode_stoch_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _level_encode_dx_stoch(enc: "HashGridEncoding", lvl: int, t2, xt, salt):
+    """= ``_level_encode_dx`` forward; backward samples ONE corner
+    UNIFORMLY (p=1/8, value ×8) because the combined cotangent
+    w_c·g_out + Σ_a dw_ac·g_a mixes signs, so importance weights don't
+    exist — uniform stays unbiased regardless."""
+    idx, W, dW = enc._level_iw(xt, lvl, need_dw=True)
+    feats = jnp.take(t2, idx, axis=1)
+    w = W.astype(t2.dtype)
+    dw = dW.astype(t2.dtype)
+    out = jnp.sum(w[None] * feats, axis=1)
+    ds = tuple(jnp.sum(dw[a][None] * feats, axis=1) for a in range(3))
+    return (out,) + ds
+
+
+def _level_encode_dx_stoch_fwd(enc, lvl, t2, xt, salt):
+    return _level_encode_dx_stoch(enc, lvl, t2, xt, salt), (xt, t2.shape[1], salt)
+
+
+def _level_encode_dx_stoch_bwd(enc, lvl, res, gs):
+    xt, t, salt = res
+    g_out, g0, g1, g2 = gs
+    idx, W, dW = enc._level_iw(xt, lvl, need_dw=True)
+    n = xt.shape[1]
+    u = _cheap_hash_u(n, lvl, salt)
+    c = jnp.minimum((u * 8.0).astype(jnp.int32), 7)  # [N] uniform corner
+    rows = jnp.take_along_axis(idx, c[None, :], axis=0)[0]
+    w_c = jnp.take_along_axis(W.astype(g_out.dtype), c[None, :], axis=0)  # [1, N]
+    upd = w_c * g_out  # [F, N] (broadcast over F)
+    for a, ga in enumerate((g0, g1, g2)):
+        dw_c = jnp.take_along_axis(dW[a].astype(g_out.dtype), c[None, :], axis=0)
+        upd = upd + dw_c * ga
+    d = _scatter_ft(rows, 8.0 * upd, t)
+    return d, jnp.zeros_like(xt), jnp.zeros_like(salt)
+
+
+_level_encode_dx_stoch.defvjp(_level_encode_dx_stoch_fwd, _level_encode_dx_stoch_bwd)

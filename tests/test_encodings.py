@@ -178,3 +178,98 @@ class TestHashGrid:
             dx = jnp.zeros_like(x).at[0, d].add(eps)
             fd = (f(x + dx) - f(x - dx)) / (2 * eps)
             assert np.allclose(g[0, d], fd, rtol=5e-2, atol=1e-3)
+
+
+class TestStochasticTableGrads:
+    """Stochastic-corner table gradients (``_level_encode_stoch`` /
+    ``_level_encode_dx_stoch``): exact forward, exact position cotangent,
+    unbiased 1-corner table gradient."""
+
+    def _enc(self):
+        cfg = HashGridConfig(
+            num_levels=3, features_per_level=2, log2_hashmap_size=10,
+            base_res=4, max_res=16,
+        )
+        enc = HashGridEncoding(cfg)
+        table = enc.init(jax.random.PRNGKey(0))
+        x = jax.random.uniform(jax.random.PRNGKey(1), (64, 3))
+        return enc, table, x
+
+    def test_forward_exact(self):
+        enc, table, x = self._enc()
+        exact = enc(table, x, custom_take=True)
+        salt = jnp.uint32(1234)
+        stoch = enc(table, x, custom_take=True, stoch_salt=salt)
+        np.testing.assert_allclose(np.asarray(stoch), np.asarray(exact), rtol=1e-6)
+
+    def test_encode_with_dx_forward_exact(self):
+        enc, table, x = self._enc()
+        out_e, dx_e = enc.encode_with_dx(table, x)
+        out_s, dx_s = enc.encode_with_dx(table, x, stoch_salt=jnp.uint32(7))
+        np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_e), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(dx_s), np.asarray(dx_e), rtol=1e-6)
+
+    def test_position_cotangent_exact(self):
+        """The encode's position cotangent must NOT be sampled — the DDF
+        level-set loss differentiates through termination points."""
+        enc, table, x = self._enc()
+
+        def f_exact(x):
+            return jnp.sum(jnp.sin(enc(table, x, custom_take=True)))
+
+        def f_stoch(x):
+            return jnp.sum(
+                jnp.sin(enc(table, x, custom_take=True, stoch_salt=jnp.uint32(3)))
+            )
+
+        gx_e = jax.grad(f_exact)(x)
+        gx_s = jax.grad(f_stoch)(x)
+        np.testing.assert_allclose(np.asarray(gx_s), np.asarray(gx_e), rtol=1e-5, atol=1e-6)
+
+    def test_table_grad_unbiased(self):
+        enc, table, x = self._enc()
+
+        def loss(tbl, salt):
+            return jnp.sum(enc(tbl, x, custom_take=True, stoch_salt=salt) ** 2)
+
+        def loss_exact(tbl):
+            return jnp.sum(enc(tbl, x, custom_take=True) ** 2)
+
+        g_exact = jax.grad(loss_exact)(table)
+        g_fn = jax.jit(jax.grad(loss))
+        acc = jnp.zeros_like(g_exact)
+        n = 600
+        for s in range(n):
+            acc = acc + g_fn(table, jnp.uint32(s * 2654435761 % (2**32)))
+        mean = np.asarray(acc / n)
+        ref = np.asarray(g_exact)
+        denom = np.abs(ref).max()
+        assert np.abs(mean - ref).max() / denom < 0.12, (
+            np.abs(mean - ref).max() / denom
+        )
+
+    def test_dx_table_grad_unbiased(self):
+        enc, table, x = self._enc()
+
+        def loss(tbl, salt):
+            out, dx = enc.encode_with_dx(tbl, x, stoch_salt=salt)
+            return jnp.sum(out ** 2) + jnp.sum(dx ** 2) * 1e-3
+
+        def loss_exact(tbl):
+            out, dx = enc.encode_with_dx(tbl, x)
+            return jnp.sum(out ** 2) + jnp.sum(dx ** 2) * 1e-3
+
+        g_exact = jax.grad(loss_exact)(table)
+        salts = jnp.asarray(
+            (np.arange(2400, dtype=np.uint64) * 40503 + 17) % (2**32),
+            jnp.uint32,
+        )
+        g_all = jax.jit(jax.vmap(jax.grad(loss), in_axes=(None, 0)))(table, salts)
+        ref = np.asarray(g_exact)
+        denom = np.abs(ref).max()
+        err_half = np.abs(np.asarray(jnp.mean(g_all[:1200], 0)) - ref).max() / denom
+        err_full = np.abs(np.asarray(jnp.mean(g_all, 0)) - ref).max() / denom
+        # mean converges to the exact gradient (unbiased): error small and
+        # shrinking with more salts
+        assert err_full < 0.2, (err_half, err_full)
+        assert err_full < err_half * 1.05, (err_half, err_full)
