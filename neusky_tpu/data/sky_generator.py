@@ -172,12 +172,24 @@ def generate_sky_corpus(
     params: Optional[Tuple[SkyParams, ...]] = None,
 ) -> np.ndarray:
     """[num, H, W, 3] linear-HDR equirect skies on the sampler's grid
-    (H = width // 2)."""
-    from neusky_tpu.sampling.illumination import EquirectangularSampler
+    (H = width // 2).
 
-    sampler = EquirectangularSampler(width=width)
-    dirs = np.asarray(sampler()).reshape(-1, 3)
-    h = sampler.height
+    Directions are computed in numpy (identical formula to
+    ``EquirectangularSampler`` — asserted by tests) so corpus generation
+    never touches the accelerator (device contact can block on the axon
+    tunnel claim; generation must be pure host work)."""
+    h = width // 2
+    phi = (np.arange(h) + 0.5) / h * np.pi
+    theta = (np.arange(width) + 0.5) / width * 2.0 * np.pi - np.pi
+    phi_g, theta_g = np.meshgrid(phi, theta, indexing="ij")
+    dirs = np.stack(
+        [
+            np.sin(phi_g) * np.cos(theta_g),
+            np.sin(phi_g) * np.sin(theta_g),
+            np.cos(phi_g),
+        ],
+        axis=-1,
+    ).reshape(-1, 3).astype(np.float32)
     rng = np.random.default_rng(seed)
     out = np.empty((num, h, width, 3), np.float32)
     for i in range(num):

@@ -68,18 +68,26 @@ def ssim_image(pred: np.ndarray, target: np.ndarray, data_range: float = 1.0) ->
 
 
 def lpips_image(pred: np.ndarray, target: np.ndarray) -> Optional[float]:
-    """LPIPS (VGG) if torchmetrics weights are locally available; else None.
+    """LPIPS (VGG16), natively in JAX (``engine/lpips.py``).
 
-    The reference uses ``LearnedPerceptualImagePatchSimilarity`` with
-    pretrained VGG features — those weights cannot be fetched in a
-    zero-egress environment, so this gracefully degrades."""
+    Uses pretrained VGG weights when present on disk; otherwise a
+    seeded random-feature VGG (labelled via ``lpips_flavour()`` — still a
+    useful perceptual distance per the LPIPS paper, but not comparable to
+    published pretrained numbers)."""
     try:
-        import torch
-        from torchmetrics.image.lpip import LearnedPerceptualImagePatchSimilarity
+        from neusky_tpu.engine.lpips import lpips
 
-        metric = LearnedPerceptualImagePatchSimilarity(normalize=True)
-        p = torch.from_numpy(np.moveaxis(pred, -1, 0)[None]).float()
-        t = torch.from_numpy(np.moveaxis(target, -1, 0)[None]).float()
-        return float(metric(p, t))
+        val, _ = lpips(pred, target)
+        return val
+    except Exception:
+        return None
+
+
+def lpips_flavour() -> Optional[str]:
+    """"vgg16-pretrained" | "vgg16-random" | None — report next to LPIPS."""
+    try:
+        from neusky_tpu.engine.lpips import _cache
+
+        return _cache.get("flavour")
     except Exception:
         return None

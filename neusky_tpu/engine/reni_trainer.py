@@ -193,9 +193,17 @@ class RENITrainer:
                 def loss(z):
                     d = dirs[pix]  # [P, 3]
                     gt = field.normalise(targets[:, pix])  # [B, P, 3]
-                    pred = jax.vmap(
-                        lambda zz: field.apply(decoder, d, zz)["rgb"]
-                    )(z)
+                    # sequential over skies WITH remat: vmap materialises
+                    # [B, P, latent_dim, heads] attention temps, and a bare
+                    # lax.map still STACKS per-iteration residuals for the
+                    # backward (observed 68 GB HBM at B=32) — checkpoint
+                    # keeps only the [D, 3] latent per iteration
+                    pred = jax.lax.map(
+                        jax.checkpoint(
+                            lambda zz: field.apply(decoder, d, zz)["rgb"]
+                        ),
+                        z,
+                    )
                     return jnp.mean((pred - gt) ** 2)
 
                 g = jax.grad(loss)(z)
@@ -203,8 +211,10 @@ class RENITrainer:
                 return (z + updates, state), None
 
             (z, _), _ = jax.lax.scan(body, (z, state), jax.random.split(rng, steps))
-            # full-image PSNR per sky
-            pred = jax.vmap(lambda zz: field.apply(decoder, dirs, zz)["rgb"])(z)
+            # full-image PSNR per sky (sequential for the same reason)
+            pred = jax.lax.map(
+                lambda zz: field.apply(decoder, dirs, zz)["rgb"], z
+            )
             gt = field.normalise(targets)
             mse = jnp.mean((pred - gt) ** 2, axis=(1, 2))
             return z, 10.0 * jnp.log10(4.0 / jnp.maximum(mse, 1e-12))

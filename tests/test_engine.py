@@ -164,3 +164,16 @@ def test_sky_generator_and_heldout_fit():
         corpus[4:], steps=30, pixels_per_step=128
     )
     assert z.shape == (2, 4, 3) and np.isfinite(psnr).all()
+
+
+def test_lpips_native():
+    """JAX VGG-LPIPS: zero on identical images, positive and ordered on
+    distortions; flavour reported (random fallback without weights)."""
+    from neusky_tpu.engine.metrics import lpips_flavour, lpips_image
+
+    rng = np.random.default_rng(0)
+    a = rng.uniform(size=(48, 48, 3)).astype(np.float32)
+    b = np.clip(a + rng.normal(0, 0.15, a.shape).astype(np.float32), 0, 1)
+    assert lpips_image(a, a) < 1e-6
+    assert lpips_image(a, b) > 1e-4
+    assert lpips_flavour() in ("vgg16-random", "vgg16-pretrained")

@@ -45,6 +45,9 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--quick", action="store_true",
                     help="tiny decoder + corpus, CPU-friendly smoke run")
+    ap.add_argument("--gates-only", action="store_true",
+                    help="skip training: load the saved decoder from "
+                    "--output and (re)run the quality gates")
     ap.add_argument("--train-psnr-gate", type=float, default=28.0)
     ap.add_argument("--holdout-psnr-gate", type=float, default=22.0)
     args = ap.parse_args()
@@ -95,10 +98,45 @@ def main():
     def log(rec):
         print(json.dumps(rec))
 
-    t0 = time.time()
-    trainer.run(log_every=max(args.steps // 20, 1), log_fn=log)
-    train_time = time.time() - t0
-    print(f"trained {trainer.step} steps in {train_time:.1f}s")
+    out = Path(args.output)
+    if not out.is_absolute():
+        out = Path(__file__).resolve().parent.parent / out
+
+    if args.gates_only:
+        from neusky_tpu.engine.checkpoint import load_param_subtrees
+
+        restored = load_param_subtrees(
+            out, None, {"illumination_decoder": trainer.params["decoder"]},
+            include=("illumination_decoder",),
+        )
+        trainer.params["decoder"] = jax.tree_util.tree_map(
+            jnp.asarray, restored["illumination_decoder"]
+        )
+        # refit the first 32 TRAIN latents against the loaded decoder so
+        # the train-PSNR gate measures the restored checkpoint, not random
+        # latents (the remaining latent rows stay zero and are not sampled)
+        n_fit = min(32, args.num_skies)
+        z_train, _ = trainer.fit_heldout_latents(
+            train_skies[:n_fit], steps=250,
+            pixels_per_step=args.pixels_per_step,
+        )
+        trainer.params["latents"] = (
+            trainer.params["latents"].at[:n_fit].set(jnp.asarray(z_train))
+        )
+        args.num_skies = n_fit  # gate samples stay within the fitted rows
+        train_time = 0.0
+    else:
+        t0 = time.time()
+        trainer.run(log_every=max(args.steps // 20, 1), log_fn=log)
+        train_time = time.time() - t0
+        print(f"trained {trainer.step} steps in {train_time:.1f}s")
+
+        save_checkpoint(
+            out, trainer.step,
+            {"illumination_decoder": trainer.params["decoder"]},
+            {},
+        )
+        print(f"saved prior decoder to {out}")
 
     # --- gates -----------------------------------------------------------
     sample = range(0, args.num_skies, max(1, args.num_skies // 16))
@@ -143,17 +181,8 @@ def main():
         gates["train_gate"] and gates["holdout_gate"] and gates["equivariance_gate"]
     )
 
-    out = Path(args.output)
-    if not out.is_absolute():
-        out = Path(__file__).resolve().parent.parent / out
-    save_checkpoint(
-        out, trainer.step,
-        {"illumination_decoder": trainer.params["decoder"]},
-        {},
-    )
     (out / "quality.json").write_text(json.dumps(gates, indent=2))
     print(json.dumps(gates))
-    print(f"saved prior decoder to {out}")
     if not gates["all_pass"]:
         print("QUALITY GATES FAILED — prior saved but needs more training")
         return 1
