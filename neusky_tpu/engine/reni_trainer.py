@@ -167,12 +167,20 @@ class RENITrainer:
         lr: float = 1e-1,
         pixels_per_step: int = 2048,
         seed: int = 1,
+        sky_chunk: int = 4,
     ):
         """Test-time latent fitting on held-out skies with the decoder
         FROZEN — the generalisation gate for the prior (mirrors how NeuSky
-        consumes the decoder).  Returns (latents [B, D, 3], psnr [B])."""
+        consumes the decoder).  Returns (latents [B, D, 3], psnr [B]).
+
+        Skies are fitted in host-level chunks of ``sky_chunk``: each sky's
+        latent only touches its own pixels, so fitting per-chunk is exact
+        (Adam's per-parameter normalisation cancels the 1/B grad scaling).
+        Chunking bounds the [C, P, latent_dim, hidden] attention temps —
+        in-graph batching over all B (vmap, lax.map, or lax.map+remat) was
+        observed to allocate the full [B, ...] temp regardless (3.1 GB at
+        B=32, OOM-killing the TPU worker)."""
         b, h, w, _ = envmaps.shape
-        targets = jax.device_put(jnp.asarray(envmaps.reshape(b, h * w, 3)))
         dirs = self._dirs_dev
         assert dirs.shape[0] == h * w, "held-out resolution must match corpus"
         field = self.field
@@ -181,9 +189,10 @@ class RENITrainer:
         )
         n_pix = h * w
         opt = optax.adam(lr)
-        z0 = jnp.zeros((b, self.config.field.latent_dim, 3))
+        c = min(sky_chunk, b)
 
-        def run(z, rng, dirs, targets):
+        @jax.jit
+        def run(z, rng, targets):
             state = opt.init(z)
 
             def body(carry, k):
@@ -192,18 +201,10 @@ class RENITrainer:
 
                 def loss(z):
                     d = dirs[pix]  # [P, 3]
-                    gt = field.normalise(targets[:, pix])  # [B, P, 3]
-                    # sequential over skies WITH remat: vmap materialises
-                    # [B, P, latent_dim, heads] attention temps, and a bare
-                    # lax.map still STACKS per-iteration residuals for the
-                    # backward (observed 68 GB HBM at B=32) — checkpoint
-                    # keeps only the [D, 3] latent per iteration
-                    pred = jax.lax.map(
-                        jax.checkpoint(
-                            lambda zz: field.apply(decoder, d, zz)["rgb"]
-                        ),
-                        z,
-                    )
+                    gt = field.normalise(targets[:, pix])  # [C, P, 3]
+                    pred = jax.vmap(
+                        lambda zz: field.apply(decoder, d, zz)["rgb"]
+                    )(z)
                     return jnp.mean((pred - gt) ** 2)
 
                 g = jax.grad(loss)(z)
@@ -211,16 +212,27 @@ class RENITrainer:
                 return (z + updates, state), None
 
             (z, _), _ = jax.lax.scan(body, (z, state), jax.random.split(rng, steps))
-            # full-image PSNR per sky (sequential for the same reason)
-            pred = jax.lax.map(
-                lambda zz: field.apply(decoder, dirs, zz)["rgb"], z
-            )
+            pred = jax.vmap(
+                lambda zz: field.apply(decoder, dirs, zz)["rgb"]
+            )(z)
             gt = field.normalise(targets)
             mse = jnp.mean((pred - gt) ** 2, axis=(1, 2))
             return z, 10.0 * jnp.log10(4.0 / jnp.maximum(mse, 1e-12))
 
-        z, psnr = jax.jit(run)(z0, jax.random.PRNGKey(seed), dirs, targets)
-        return np.asarray(z), np.asarray(psnr)
+        flat = envmaps.reshape(b, h * w, 3)
+        zs, psnrs = [], []
+        for lo in range(0, b, c):
+            chunk = flat[lo : lo + c]
+            pad = c - chunk.shape[0]
+            if pad:
+                chunk = np.concatenate([chunk, chunk[-1:].repeat(pad, 0)], 0)
+            z0 = jnp.zeros((c, self.config.field.latent_dim, 3))
+            z, psnr = run(
+                z0, jax.random.PRNGKey(seed + lo), jnp.asarray(chunk)
+            )
+            zs.append(np.asarray(z)[: c - pad if pad else c])
+            psnrs.append(np.asarray(psnr)[: c - pad if pad else c])
+        return np.concatenate(zs, 0), np.concatenate(psnrs, 0)
 
     def decode_envmap(self, latent: jnp.ndarray, width: int = 128) -> np.ndarray:
         """Latent → HDR envmap [H, W, 3] (BASELINE config[0]:

@@ -125,6 +125,12 @@ def main():
         )
         args.num_skies = n_fit  # gate samples stay within the fitted rows
         train_time = 0.0
+        try:
+            trainer.step = json.loads(
+                (out / "latest.json").read_text()
+            )["step"]
+        except (OSError, KeyError, ValueError):
+            pass
     else:
         t0 = time.time()
         trainer.run(log_every=max(args.steps // 20, 1), log_fn=log)
@@ -156,12 +162,17 @@ def main():
     d = jnp.asarray(np.asarray(sampler()).reshape(-1, 3))
     z = trainer.params["latents"][0]
     rot = jnp.asarray(rot_z(np.pi / 3))
-    out_rot_dirs = trainer.field.apply(
-        trainer.params["decoder"], d @ rot.T, z
-    )["rgb"]
-    # f(R d, Z) == f(d, R^T Z): latents are [D, 3] R^3 vectors, z @ R = R^T z
-    z_rot = z @ rot
-    out_rot_lat = trainer.field.apply(trainer.params["decoder"], d, z_rot)["rgb"]
+    # the property is exact in the architecture; TPU default matmul
+    # precision (bf16 passes) degrades it to ~1e-2, so pin fp32 matmuls
+    with jax.default_matmul_precision("highest"):
+        out_rot_dirs = trainer.field.apply(
+            trainer.params["decoder"], d @ rot.T, z
+        )["rgb"]
+        # f(R d, Z) == f(d, R^T Z): latents are [D, 3] vectors, z @ R = R^T z
+        z_rot = z @ rot
+        out_rot_lat = trainer.field.apply(
+            trainer.params["decoder"], d, z_rot
+        )["rgb"]
     equiv_err = float(jnp.max(jnp.abs(out_rot_dirs - out_rot_lat)))
 
     gates = {

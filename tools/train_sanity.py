@@ -7,10 +7,17 @@ stochastic-corner proposal gradients, forward-mode SDF gradients) actually
 scene.  Prints one JSON line per log interval.
 
 Usage:  python tools/train_sanity.py [num_steps] [log_every]
+                [--ddf-encoding nerf|hash] [--out results.jsonl]
+
+``--ddf-encoding`` drives the VERDICT r1 A/B: the reference uses a hash
+grid for the DDF position encoding (``configs/neusky_config.py:165``);
+this build defaults to frequency encoding for scatter-row reasons and the
+A/B quantifies the quality impact (DDF depth PSNR + shadow fidelity).
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import sys
@@ -20,8 +27,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
-    num_steps = int(sys.argv[1]) if len(sys.argv) > 1 else 1500
-    log_every = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+    ap = argparse.ArgumentParser()
+    ap.add_argument("steps", nargs="?", type=int, default=1500)
+    ap.add_argument("log_every", nargs="?", type=int, default=100)
+    ap.add_argument("--ddf-encoding", choices=("nerf", "hash"), default="nerf")
+    ap.add_argument("--out", default=None, help="also append JSON records here")
+    args = ap.parse_args()
+    num_steps, log_every = args.steps, args.log_every
 
     import jax
     import jax.numpy as jnp
@@ -39,7 +51,20 @@ def main():
     from neusky_tpu.parallel.mesh import make_train_step
     from neusky_tpu.sampling.ddf_sampler import DDFSamplerConfig
 
+    import dataclasses
+
     cfg = neusky_model_config(num_train_data=8, num_eval_data=2)
+    if args.ddf_encoding != cfg.ddf.field.position_encoding_type:
+        cfg = dataclasses.replace(
+            cfg,
+            ddf=dataclasses.replace(
+                cfg.ddf,
+                field=dataclasses.replace(
+                    cfg.ddf.field,
+                    position_encoding_type=args.ddf_encoding,
+                ),
+            ),
+        )
     model = NeuSkyModel(cfg)
     pipe = PipelineConfig(
         visibility_train_sampler=DDFSamplerConfig(
@@ -75,6 +100,7 @@ def main():
         if (i + 1) % log_every == 0 or i == 0:
             rec = {
                 "step": i + 1,
+                "ddf_encoding": args.ddf_encoding,
                 "psnr": round(float(aux["metrics"]["psnr"]), 3),
                 "ddf_depth_psnr": round(float(aux["metrics"]["ddf_depth_psnr"]), 3),
                 "total_loss": round(float(aux["total_loss"]), 4),
@@ -82,6 +108,9 @@ def main():
                 "elapsed_s": round(time.perf_counter() - t0, 1),
             }
             print(json.dumps(rec), flush=True)
+            if args.out:
+                with open(args.out, "a") as f:
+                    f.write(json.dumps(rec) + "\n")
 
 
 if __name__ == "__main__":
