@@ -61,6 +61,16 @@ def main():
         cfg = dataclasses.replace(
             cfg, visibility_query_chunk=int(os.environ["NEUSKY_VIS_CHUNK"])
         )
+    if os.environ.get("NEUSKY_EXACT_PROPOSAL_FWD", ""):
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg,
+            proposal_fields=tuple(
+                dataclasses.replace(p, stochastic_forward=False)
+                for p in cfg.proposal_fields
+            ),
+        )
     if os.environ.get("NEUSKY_EXACT_TABLE_GRADS", ""):
         import dataclasses
 

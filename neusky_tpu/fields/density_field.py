@@ -40,6 +40,12 @@ class DensityFieldConfig:
     scatter row per sample/level instead of 8 — unbiased, 8× less scatter
     work; proposal-field positions are stop-gradient bins so the zero
     w-cotangent is exact).  Active only when the caller passes an rng."""
+    stochastic_forward: bool = True
+    """Sample the SAME single corner in the forward too (unbiased dither of
+    the trilinear interpolation, 8× fewer gather rows — the proposal
+    forward gather was the largest single site of the traced step, ~58 ms).
+    The density only guides PDF resampling, which is already stochastic.
+    Requires ``stochastic_table_grad`` + an rng; exact trilinear otherwise."""
 
 
 class HashMLPDensityField(nn.Module):
@@ -64,7 +70,10 @@ class HashMLPDensityField(nn.Module):
         if rng is not None and self.config.stochastic_table_grad:
             stoch_u = jax.random.uniform(rng, (x.shape[0],))
         # reverse-only context → Pallas-backed table gather (fast backward)
-        h = self.encoding(self.table, x, custom_take=True, stoch_u=stoch_u)
+        h = self.encoding(
+            self.table, x, custom_take=True, stoch_u=stoch_u,
+            stoch_fwd=self.config.stochastic_forward,
+        )
         for layer in self.layers[:-1]:
             h = nn.relu(layer(h))
         out = self.layers[-1](h)

@@ -189,13 +189,18 @@ class HashGridEncoding:
         custom_take: bool = False,
         stoch_u: Optional[jnp.ndarray] = None,
         stoch_salt: Optional[jnp.ndarray] = None,
+        stoch_fwd: bool = False,
     ) -> jnp.ndarray:
         """Encode positions. x: [N, 3] in [0,1] → [N, L*F].
 
         ``stoch_u`` ([N] uniforms): use the stochastic-corner table
         gradient (exact forward, one sampled scatter row per sample/level
         in backward — see ``take_interp_stoch``; only valid where positions
-        carry no gradient).
+        carry no gradient).  With ``stoch_fwd=True`` the FORWARD samples
+        the same single corner too (``take_interp_stoch_fp`` — unbiased
+        dither, 8× fewer gather rows; proposal-density-only).  The uniform
+        is golden-ratio-shifted per level so corner draws decorrelate
+        across levels.
 
         ``stoch_salt`` (uint32 scalar, requires ``custom_take``): the
         residual-free custom-take path with a stochastic-corner TABLE
@@ -217,7 +222,10 @@ class HashGridEncoding:
         n = x.shape[0]
         xt = x.T  # [3, N]
         if stoch_u is not None:
-            from neusky_tpu.ops.hashgrid_pallas import take_interp_stoch
+            from neusky_tpu.ops.hashgrid_pallas import (
+                take_interp_stoch,
+                take_interp_stoch_fp,
+            )
         outs = []
         for lvl in range(c.num_levels):
             if custom_take and stoch_u is None and stoch_salt is not None:
@@ -233,7 +241,11 @@ class HashGridEncoding:
             idx, W, _ = self._level_iw(xt, lvl, need_dw=False)
             w = W.astype(table.dtype)
             if stoch_u is not None:
-                outs.append(take_interp_stoch(table[lvl], idx, w, stoch_u))
+                # decorrelate corner draws across levels (golden-ratio
+                # shift — cheap, keeps one [N] uniform input)
+                u_l = jnp.mod(stoch_u + (0.6180339887 * lvl) % 1.0, 1.0)
+                take = take_interp_stoch_fp if stoch_fwd else take_interp_stoch
+                outs.append(take(table[lvl], idx, w, u_l))
             else:
                 feats = jnp.take(table[lvl], idx, axis=1)  # [F, 8, N]
                 outs.append(jnp.sum(w[None] * feats, axis=1))  # [F, N]

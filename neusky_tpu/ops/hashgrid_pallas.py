@@ -217,11 +217,7 @@ def _take_interp_stoch_fwd(t2, idx, w, u):
 def _take_interp_stoch_bwd(res, g):
     idx, w, u, (f, t) = res
     # corner ~ Categorical(w / Σw): inverse-CDF with one uniform per sample
-    wsum = jnp.sum(w, axis=0)  # [N] (≈1 for trilinear)
-    cdf = jnp.cumsum(w, axis=0)  # [8, N]
-    c_star = jnp.sum((cdf < (u * wsum)[None, :]).astype(jnp.int32), axis=0)
-    c_star = jnp.clip(c_star, 0, w.shape[0] - 1)  # [N]
-    rows = jnp.take_along_axis(idx, c_star[None, :], axis=0)[0]  # [N]
+    rows, wsum = _sample_corner(idx, w, u)
     vals = g * wsum[None, :]  # [F, N]
     if _use_pallas() and t % 128 == 0 and f == 2 and vals.dtype == jnp.float32:
         dtable = scatter_add_tablegrad_t(rows, vals, t)  # [2, T]
@@ -231,6 +227,59 @@ def _take_interp_stoch_bwd(res, g):
 
 
 take_interp_stoch.defvjp(_take_interp_stoch_fwd, _take_interp_stoch_bwd)
+
+
+def _sample_corner(idx, w, u):
+    """corner ~ Categorical(w/Σw) per sample → (rows [N], Σw [N])."""
+    wsum = jnp.sum(w, axis=0)  # [N] (≈1 for trilinear)
+    cdf = jnp.cumsum(w, axis=0)  # [8, N]
+    c_star = jnp.sum((cdf < (u * wsum)[None, :]).astype(jnp.int32), axis=0)
+    c_star = jnp.clip(c_star, 0, w.shape[0] - 1)  # [N]
+    rows = jnp.take_along_axis(idx, c_star[None, :], axis=0)[0]  # [N]
+    return rows, wsum
+
+
+@jax.custom_vjp
+def take_interp_stoch_fp(
+    t2: jnp.ndarray, idx: jnp.ndarray, w: jnp.ndarray, u: jnp.ndarray
+) -> jnp.ndarray:
+    """FULLY stochastic interpolated lookup: ONE importance-sampled corner
+    per sample in the forward AND the backward.
+
+    t2: [F, T]; idx, w: [8, N]; u: [N] uniforms →
+    out [F, N] = Σw · t2[:, idx_{c*}],  c* ~ Categorical(w/Σw).
+
+    E[out] = Σ_c w_c·t2[:, idx_c] — the exact trilinear interpolation — and
+    the backward scatters ``g·Σw`` to the same sampled corner, which is the
+    exact gradient OF THE SAMPLED ESTIMATOR (so forward noise and gradient
+    stay consistent) and an unbiased estimate of the true table gradient.
+
+    8× fewer gather rows than the exact forward — this is the hot-path
+    variant for the PROPOSAL density fields, whose output only guides PDF
+    resampling (positions are stop-gradient bins; forward noise dithers the
+    proposal CDF, which is already stochastic).  Do NOT use for fields
+    whose values must be exact (the SDF).  The ``w`` cotangent is ZERO."""
+    rows, wsum = _sample_corner(idx, w, u)
+    return jnp.take(t2, rows, axis=1) * wsum[None].astype(t2.dtype)
+
+
+def _take_interp_stoch_fp_fwd(t2, idx, w, u):
+    rows, wsum = _sample_corner(idx, w, u)
+    out = jnp.take(t2, rows, axis=1) * wsum[None].astype(t2.dtype)
+    return out, (rows, wsum, w.shape, t2.shape)
+
+
+def _take_interp_stoch_fp_bwd(res, g):
+    rows, wsum, w_shape, (f, t) = res
+    vals = g * wsum[None, :].astype(g.dtype)  # [F, N]
+    if _use_pallas() and t % 128 == 0 and f == 2 and vals.dtype == jnp.float32:
+        dtable = scatter_add_tablegrad_t(rows, vals, t)  # [2, T]
+    else:
+        dtable = jnp.zeros((t, f), vals.dtype).at[rows].add(vals.T).T
+    return dtable, None, jnp.zeros(w_shape, vals.dtype), None
+
+
+take_interp_stoch_fp.defvjp(_take_interp_stoch_fp_fwd, _take_interp_stoch_fp_bwd)
 
 
 # ---------------------------------------------------------------------------

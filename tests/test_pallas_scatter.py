@@ -91,6 +91,52 @@ def test_take_interp_stoch_forward_exact_backward_unbiased():
     )
 
 
+def test_take_interp_stoch_fp_unbiased_both_ways():
+    """Fully-stochastic variant: E_u[forward] == exact interpolation and
+    E_u[backward] == exact table gradient (stratum enumeration as above)."""
+    from neusky_tpu.ops.hashgrid_pallas import take_interp_stoch_fp
+
+    T = 256
+    t2 = jax.random.normal(jax.random.PRNGKey(20), (2, T))
+    idx1 = jax.random.randint(jax.random.PRNGKey(21), (8, 1), 0, T)
+    w1 = jax.random.uniform(jax.random.PRNGKey(22), (8, 1)) + 0.01
+
+    wsum = float(jnp.sum(w1))
+    cdf = np.cumsum(np.asarray(w1[:, 0])) / wsum
+    lo = np.concatenate([[0.0], cdf[:-1]])
+
+    ref_fwd = np.asarray(jnp.sum(w1[None] * t2[:, idx1], axis=1))
+    exact_grad = np.asarray(
+        jax.grad(lambda t: jnp.sum(jnp.sum(w1[None] * t[:, idx1], 1) ** 2))(t2)
+    )
+
+    exp_fwd = np.zeros_like(ref_fwd)
+    exp_grad = np.zeros_like(exact_grad)
+    for c in range(8):
+        u_mid = jnp.asarray([(lo[c] + cdf[c]) / 2.0], jnp.float32)
+        p_c = cdf[c] - lo[c]
+        exp_fwd += p_c * np.asarray(take_interp_stoch_fp(t2, idx1, w1, u_mid))
+        # gradient of the exact loss wrt table, estimated via the sampled
+        # estimator: d/dt Σ (interp_exact)² needs the chain cotangent
+        # g = 2·interp_exact at the sampled row — feed it by differentiating
+        # the product of the stochastic forward against the exact value
+        g_c = np.asarray(
+            jax.grad(
+                lambda t: jnp.sum(
+                    take_interp_stoch_fp(t, idx1, w1, u_mid)
+                    * jnp.asarray(2.0 * ref_fwd)
+                )
+            )(t2)
+        )
+        exp_grad += p_c * g_c
+    assert np.allclose(exp_fwd, ref_fwd, atol=1e-4), (
+        np.abs(exp_fwd - ref_fwd).max()
+    )
+    assert np.allclose(exp_grad, exact_grad, atol=1e-4), (
+        np.abs(exp_grad - exact_grad).max()
+    )
+
+
 def test_take_level_roundtrip():
     """take_level forward == XLA take; VJP == XLA scatter (CPU fallback)."""
     from neusky_tpu.ops.hashgrid_pallas import take_level
