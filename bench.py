@@ -80,6 +80,30 @@ def main():
                 cfg.sdf_field, stochastic_table_grads=False
             ),
         )
+    if os.environ.get("NEUSKY_VECTORIZED", "") in ("0", "false"):
+        # A/B: per-level hash encode ops instead of all-levels-in-one
+        import dataclasses
+
+        from neusky_tpu.ops.hashgrid import HashGridConfig
+
+        def _unvec(node):
+            if isinstance(node, HashGridConfig):
+                return dataclasses.replace(node, vectorized=False)
+            if dataclasses.is_dataclass(node) and not isinstance(node, type):
+                return dataclasses.replace(
+                    node,
+                    **{
+                        f.name: _unvec(getattr(node, f.name))
+                        for f in dataclasses.fields(node)
+                        if dataclasses.is_dataclass(getattr(node, f.name))
+                        or isinstance(getattr(node, f.name), tuple)
+                    },
+                )
+            if isinstance(node, tuple):
+                return tuple(_unvec(v) for v in node)
+            return node
+
+        cfg = _unvec(cfg)
     model = NeuSkyModel(cfg)
     pipe = PipelineConfig(
         visibility_train_sampler=DDFSamplerConfig(
@@ -145,7 +169,7 @@ def main():
     # would mean the layout fixed point regressed — see parallel/mesh.py)
     for w in range(3):
         params, opt_state, aux = step_fn(
-            params, opt_state, batch, rng, jnp.asarray(float(w))
+            params, opt_state, batch, rng, np.float32(w)
         )
     jax.block_until_ready(aux["total_loss"])
 
@@ -165,7 +189,7 @@ def main():
         tb = time.perf_counter()
         rng, k = jax.random.split(rng)
         params, opt_state, aux = step_fn(
-            params, opt_state, batch, k, jnp.asarray(float(i + 1))
+            params, opt_state, batch, k, np.float32(i + 1)
         )
         if per_step:
             jax.block_until_ready(aux["total_loss"])

@@ -152,7 +152,7 @@ class Trainer:
             self.rng, step_rng = jax.random.split(self.rng)
             self.params, self.opt_state, aux = self.train_step(
                 self.params, self.opt_state, batch, step_rng,
-                jnp.asarray(self.step, jnp.float32),
+                np.float32(self.step),
             )
             rays_done += self._count_rays(batch)
             self.step += 1

@@ -53,6 +53,19 @@ class HashGridConfig:
     max_res: int = 2048
     use_hash: bool = True  # False → dense grid at every level (small tables)
     smoothstep: bool = False
+    vectorized: bool = False
+    """Batch all levels into ONE gather + ONE interpolation contraction
+    (single custom-VJP op) instead of 16 per-level ops.  Hypothesis was
+    that the per-level tail of ~30 small (≤50 µs) ops × 16 levels × 4
+    call sites dominated the step; measured on v5e the OPPOSITE holds:
+    vectorized = 3,736 rays/s vs per-level = 5,011 rays/s (bench r2,
+    `NEUSKY_VECTORIZED` A/B) — the [L,...] batched gathers force worse
+    table layouts than natural per-level [F,T] takes (same pathology as
+    round-1's flat-table experiment, commit bc52214).  Kept off by
+    default; the implementation is bit-matched to the per-level ops
+    (tests/test_encodings.py::TestVectorizedLevels) and may win on other
+    backends.  Backward always scatters per level through the Pallas
+    lane-ownership kernel (a joint [L·T] accumulator exceeds VMEM)."""
     layout_barrier: bool = True
     """Wrap the encode output in an optimization_barrier so XLA cannot
     propagate the consuming matmul's layout back onto the gather/scatter —
@@ -182,6 +195,76 @@ class HashGridEncoding:
         stacked = jnp.stack(per_level, axis=0)  # [L, F, N]
         return stacked.transpose(2, 0, 1).reshape(n, -1)  # [N, L*F]
 
+    def _all_iw(self, xt: jnp.ndarray, need_dw: bool):
+        """ALL levels' corner indices / weights in one vectorized graph.
+
+        xt: [3, N] → (idx [L, 8, N] int32, W [L, 8, N],
+        dW [L, 3, 8, N] | None).
+
+        Semantically identical to L calls of ``_level_iw`` stacked on axis
+        0, but emitted as single [L, ...] ops so each hash call site is a
+        handful of large fusions instead of ~30 small ops × L levels (the
+        per-level tail dominated the traced step, PERF.md r2).  Both the
+        dense and hashed index formulas are computed for every level and
+        selected by the static per-level mask; the dense arithmetic is
+        clamped to the largest in-table resolution so it cannot overflow
+        int32 at hashed-level resolutions (its value there is discarded).
+        """
+        c = self.config
+        l = c.num_levels
+        resf = jnp.asarray(self._resolutions, xt.dtype)[:, None, None]  # [L,1,1]
+        scaled = xt[None] * resf  # [L, 3, N]
+        floor = jnp.floor(scaled)
+        frac = scaled - floor  # [L, 3, N]
+        base = floor.astype(jnp.int32)
+
+        corners = jnp.asarray(self._corners)  # [8, 3]
+        coords = base[:, None, :, :] + corners[None, :, :, None]  # [L, 8, 3, N]
+
+        # per-level dense resolution, zeroed on hashed levels so the dense
+        # arithmetic can never overflow int32 there (its value is discarded
+        # by the select below); exact integer rule, no float cube roots
+        res_dense = np.where(self._dense, self._resolutions, 0).astype(np.int32)
+        res_safe = jnp.asarray(res_dense)[:, None, None, None]  # [L,1,1,1]
+        cc = jnp.minimum(coords, res_safe)  # [L, 8, 3, N]
+        rp1 = (res_safe + 1)[:, :, 0, :]  # [L, 1, 1]
+        idx_dense = cc[:, :, 0, :] + cc[:, :, 1, :] * rp1 + cc[:, :, 2, :] * (rp1 * rp1)
+        idx_dense = jnp.minimum(idx_dense, c.table_size - 1)  # [L, 8, N]
+
+        p = jnp.asarray(_PRIMES, dtype=jnp.uint32)
+        cu = coords.astype(jnp.uint32)
+        hashed = (cu[:, :, 0, :] * p[0]) ^ (cu[:, :, 1, :] * p[1]) ^ (
+            cu[:, :, 2, :] * p[2]
+        )
+        idx_hash = (hashed & jnp.uint32(c.table_size - 1)).astype(jnp.int32)
+
+        dense_mask = jnp.asarray(self._dense)[:, None, None]  # [L,1,1] bool
+        idx = jnp.where(dense_mask, idx_dense, idx_hash)  # [L, 8, N]
+
+        if c.smoothstep:
+            u = frac * frac * (3.0 - 2.0 * frac)
+            du = 6.0 * frac * (1.0 - frac) * resf  # [L, 3, N]
+        else:
+            u = frac
+            du = None  # identity interp: du == resf (constant per level)
+
+        cb = corners[None, :, :, None]  # [1, 8, 3, 1]
+        omega = jnp.where(cb == 1, u[:, None], 1.0 - u[:, None])  # [L, 8, 3, N]
+        W = omega[:, :, 0, :] * omega[:, :, 1, :] * omega[:, :, 2, :]  # [L, 8, N]
+        if not need_dw:
+            return idx, W, None
+        sign = jnp.where(cb == 1, 1.0, -1.0).astype(xt.dtype)  # [1, 8, 3, 1]
+        dWs = []
+        for a in range(3):
+            others = [b for b in range(3) if b != a]
+            prod_others = omega[:, :, others[0], :] * omega[:, :, others[1], :]
+            if du is None:
+                d = sign[:, :, a, :] * resf[:, None, 0, :] * prod_others
+            else:
+                d = sign[:, :, a, :] * du[:, None, a, :] * prod_others
+            dWs.append(d)  # [L, 8, N]
+        return idx, W, jnp.stack(dWs, axis=1)  # [L, 3, 8, N]
+
     def __call__(
         self,
         table: jnp.ndarray,
@@ -221,6 +304,21 @@ class HashGridEncoding:
         c = self.config
         n = x.shape[0]
         xt = x.T  # [3, N]
+        if c.vectorized:
+            if stoch_u is not None and stoch_fwd:
+                out = _encode_all_stoch_fp(self, table, xt, stoch_u)
+            elif stoch_u is not None:
+                out = _encode_all_stoch_u(self, table, xt, stoch_u)
+            elif custom_take and stoch_salt is not None:
+                out = _encode_all_stoch(self, table, xt, stoch_salt)
+            elif custom_take:
+                out = _encode_all(self, table, xt)
+            else:
+                # JVP-safe (no custom VJP) — eval/tests
+                out = _encode_all_plain(self, table, xt)
+            if c.layout_barrier:
+                out = jax.lax.optimization_barrier(out)
+            return out
         if stoch_u is not None:
             from neusky_tpu.ops.hashgrid_pallas import (
                 take_interp_stoch,
@@ -279,6 +377,14 @@ class HashGridEncoding:
         c = self.config
         n = x.shape[0]
         xt = x.T
+        if c.vectorized and custom_take:
+            if stoch_salt is not None:
+                out, dout = _encode_all_dx_stoch(self, table, xt, stoch_salt)
+            else:
+                out, dout = _encode_all_dx(self, table, xt)
+            if c.layout_barrier:
+                out, dout = jax.lax.optimization_barrier((out, dout))
+            return out, dout
         outs = []
         douts = [[], [], []]
         for lvl in range(c.num_levels):
@@ -507,3 +613,305 @@ def _level_encode_dx_stoch_bwd(enc, lvl, res, gs):
 
 
 _level_encode_dx_stoch.defvjp(_level_encode_dx_stoch_fwd, _level_encode_dx_stoch_bwd)
+
+
+# ---------------------------------------------------------------------------
+# vectorized (all-levels-in-one) encode ops — see HashGridConfig.vectorized.
+#
+# One gather + one interpolation contraction for the whole pyramid; each op
+# is a single custom-VJP whose only residuals are the positions (+ salt/u).
+# Backward recomputes indices/weights vectorized and scatters per level
+# through the Pallas kernel (a joint [L·T] accumulator exceeds VMEM).
+# Semantics (values, cotangents, AND stochastic corner draws) are bit-
+# matched to the per-level ops — tests assert exact parity.
+
+
+def _gather_all(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """table [L, F, T], idx [L, ..., N] → feats [L, F, ..., N] (one batched
+    gather HLO instead of L axis-1 takes)."""
+    l = table.shape[0]
+    flat = idx.reshape(l, -1)  # [L, M]
+    out = jax.vmap(lambda t2, ix: jnp.take(t2, ix, axis=1))(table, flat)
+    return out.reshape(table.shape[0], table.shape[1], *idx.shape[1:])
+
+
+def _assemble_all(out_lfn: jnp.ndarray) -> jnp.ndarray:
+    """[L, F, N] → [N, L*F] (same ordering as ``_assemble``)."""
+    l, f, n = out_lfn.shape
+    return out_lfn.transpose(2, 0, 1).reshape(n, l * f)
+
+
+def _unassemble_all(g: jnp.ndarray, l: int, f: int) -> jnp.ndarray:
+    """[N, L*F] cotangent → [L, F, N]."""
+    n = g.shape[0]
+    return g.reshape(n, l, f).transpose(1, 2, 0)
+
+
+def _scatter_levels(rows: jnp.ndarray, vals: jnp.ndarray, t: int) -> jnp.ndarray:
+    """Per-level Pallas scatters: rows [L, M], vals [L, F, M] → [L, F, T]."""
+    return jnp.stack(
+        [
+            _scatter_ft(rows[lvl], vals[lvl], t)
+            for lvl in range(rows.shape[0])
+        ],
+        axis=0,
+    )
+
+
+def _cheap_hash_u_all(n: int, l: int, salt: jnp.ndarray) -> jnp.ndarray:
+    """[L, N] uniforms — row lvl bit-identical to ``_cheap_hash_u(n, lvl,
+    salt)``."""
+    x = jnp.arange(n, dtype=jnp.uint32)[None, :] * jnp.uint32(0x9E3779B9)
+    lvl_off = (
+        jnp.arange(l, dtype=jnp.uint32)[:, None] * jnp.uint32(0x85EBCA6B)
+    )
+    x = x + lvl_off
+    x = x ^ salt.astype(jnp.uint32)
+    x = (x ^ (x >> 16)) * jnp.uint32(0x7FEB352D)
+    x = (x ^ (x >> 15)) * jnp.uint32(0x846CA68B)
+    x = x ^ (x >> 16)
+    return x.astype(jnp.float32) * (1.0 / 4294967296.0)
+
+
+def _golden_u_all(stoch_u: jnp.ndarray, l: int) -> jnp.ndarray:
+    """[N] base uniforms → [L, N], row lvl == mod(u + (φ·lvl % 1), 1)."""
+    shifts = jnp.asarray(
+        [(0.6180339887 * lvl) % 1.0 for lvl in range(l)], stoch_u.dtype
+    )
+    return jnp.mod(stoch_u[None, :] + shifts[:, None], 1.0)
+
+
+def _sample_corner_all(idx, w, u):
+    """corner ~ Categorical(w/Σw) per (level, sample).
+
+    idx, w: [L, 8, N]; u: [L, N] → (rows [L, N], Σw [L, N])."""
+    wsum = jnp.sum(w, axis=1)  # [L, N]
+    cdf = jnp.cumsum(w, axis=1)  # [L, 8, N]
+    c_star = jnp.sum((cdf < (u * wsum)[:, None, :]).astype(jnp.int32), axis=1)
+    c_star = jnp.clip(c_star, 0, w.shape[1] - 1)  # [L, N]
+    rows = jnp.take_along_axis(idx, c_star[:, None, :], axis=1)[:, 0, :]
+    return rows, wsum
+
+
+def _encode_all_plain(enc: "HashGridEncoding", table, xt):
+    """JVP-safe vectorized encode (no custom VJP — XLA differentiates).
+    Used for ``custom_take=False`` call sites (eval/tests)."""
+    idx, W, _ = enc._all_iw(xt, need_dw=False)
+    feats = _gather_all(table, idx)  # [L, F, 8, N]
+    out = jnp.sum(W[:, None].astype(table.dtype) * feats, axis=2)  # [L, F, N]
+    return _assemble_all(out)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _encode_all(enc: "HashGridEncoding", table, xt):
+    """All-level encode: table [L, F, T], xt [3, N] → [N, L*F].
+
+    Exact forward, exact 8-corner table gradient, TRUE position cotangent
+    (vectorized twin of ``_level_encode`` — see its docstring for why the
+    position cotangent must be real)."""
+    idx, W, _ = enc._all_iw(xt, need_dw=False)
+    feats = _gather_all(table, idx)
+    out = jnp.sum(W[:, None].astype(table.dtype) * feats, axis=2)
+    return _assemble_all(out)
+
+
+def _encode_all_fwd(enc, table, xt):
+    return _encode_all(enc, table, xt), (table, xt)
+
+
+def _encode_all_bwd(enc, res, g):
+    table, xt = res
+    l, f, t = table.shape
+    idx, W, dW = enc._all_iw(xt, need_dw=True)
+    gl = _unassemble_all(g, l, f)  # [L, F, N]
+    upd = W[:, None].astype(g.dtype) * gl[:, :, None, :]  # [L, F, 8, N]
+    dtable = _scatter_levels(
+        idx.reshape(l, -1), upd.reshape(l, f, -1), t
+    )
+    feats = _gather_all(table, idx)  # [L, F, 8, N]
+    gf = jnp.sum(gl[:, :, None, :] * feats, axis=1)  # [L, 8, N]
+    dxt = jnp.einsum("lacn,lcn->an", dW.astype(g.dtype), gf)  # [3, N]
+    return dtable, dxt
+
+
+_encode_all.defvjp(_encode_all_fwd, _encode_all_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _encode_all_stoch(enc: "HashGridEncoding", table, xt, salt):
+    """= ``_encode_all`` forward; backward scatters ONE importance-sampled
+    corner per (level, sample) (vectorized ``_level_encode_stoch``: exact
+    forward AND exact position cotangent, 8× fewer scatter rows)."""
+    idx, W, _ = enc._all_iw(xt, need_dw=False)
+    feats = _gather_all(table, idx)
+    out = jnp.sum(W[:, None].astype(table.dtype) * feats, axis=2)
+    return _assemble_all(out)
+
+
+def _encode_all_stoch_fwd(enc, table, xt, salt):
+    return _encode_all_stoch(enc, table, xt, salt), (table, xt, salt)
+
+
+def _encode_all_stoch_bwd(enc, res, g):
+    table, xt, salt = res
+    l, f, t = table.shape
+    n = xt.shape[1]
+    idx, W, dW = enc._all_iw(xt, need_dw=True)
+    gl = _unassemble_all(g, l, f)  # [L, F, N]
+    u = _cheap_hash_u_all(n, l, salt)
+    w = W.astype(g.dtype)
+    rows, wsum = _sample_corner_all(idx, w, u)  # [L, N]
+    dtable = _scatter_levels(rows, gl * wsum[:, None, :], t)
+    # exact position cotangent (identical to _encode_all_bwd)
+    feats = _gather_all(table, idx)
+    gf = jnp.sum(gl[:, :, None, :] * feats, axis=1)  # [L, 8, N]
+    dxt = jnp.einsum("lacn,lcn->an", dW.astype(g.dtype), gf)
+    return dtable, dxt, jnp.zeros_like(salt)
+
+
+_encode_all_stoch.defvjp(_encode_all_stoch_fwd, _encode_all_stoch_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _encode_all_stoch_u(enc: "HashGridEncoding", table, xt, u):
+    """Exact forward, stochastic-corner table gradient driven by caller
+    uniforms ``u`` [N] (golden-ratio-shifted per level), ZERO position
+    cotangent (vectorized ``take_interp_stoch`` — proposal fields whose
+    positions are stop-gradient bins)."""
+    idx, W, _ = enc._all_iw(xt, need_dw=False)
+    feats = _gather_all(table, idx)
+    out = jnp.sum(W[:, None].astype(table.dtype) * feats, axis=2)
+    return _assemble_all(out)
+
+
+def _encode_all_stoch_u_fwd(enc, table, xt, u):
+    return _encode_all_stoch_u(enc, table, xt, u), (table.shape, xt, u)
+
+
+def _encode_all_stoch_u_bwd(enc, res, g):
+    (l, f, t), xt, u = res
+    idx, W, _ = enc._all_iw(xt, need_dw=False)
+    gl = _unassemble_all(g, l, f)
+    w = W.astype(g.dtype)
+    rows, wsum = _sample_corner_all(idx, w, _golden_u_all(u, l))
+    dtable = _scatter_levels(rows, gl * wsum[:, None, :], t)
+    return dtable, jnp.zeros_like(xt), jnp.zeros_like(u)
+
+
+_encode_all_stoch_u.defvjp(_encode_all_stoch_u_fwd, _encode_all_stoch_u_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _encode_all_stoch_fp(enc: "HashGridEncoding", table, xt, u):
+    """FULLY stochastic: ONE importance-sampled corner per (level, sample)
+    in the forward AND the backward (vectorized ``take_interp_stoch_fp`` —
+    unbiased dither for the proposal density fields; 8× fewer gather rows).
+    ZERO position cotangent."""
+    idx, W, _ = enc._all_iw(xt, need_dw=False)
+    rows, wsum = _sample_corner_all(idx, W, _golden_u_all(u, table.shape[0]))
+    feats = _gather_all(table, rows)  # [L, F, N]
+    return _assemble_all(feats * wsum[:, None, :].astype(table.dtype))
+
+
+def _encode_all_stoch_fp_fwd(enc, table, xt, u):
+    return _encode_all_stoch_fp(enc, table, xt, u), (table.shape, xt, u)
+
+
+def _encode_all_stoch_fp_bwd(enc, res, g):
+    (l, f, t), xt, u = res
+    idx, W, _ = enc._all_iw(xt, need_dw=False)
+    gl = _unassemble_all(g, l, f)
+    rows, wsum = _sample_corner_all(idx, W.astype(g.dtype), _golden_u_all(u, l))
+    dtable = _scatter_levels(rows, gl * wsum[:, None, :], t)
+    return dtable, jnp.zeros_like(xt), jnp.zeros_like(u)
+
+
+_encode_all_stoch_fp.defvjp(_encode_all_stoch_fp_fwd, _encode_all_stoch_fp_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _encode_all_dx(enc: "HashGridEncoding", table, xt):
+    """All-level encode + analytic d/dx: → (out [N, L*F], dout [N, 3, L*F]).
+
+    Vectorized ``_level_encode_dx``: exact 8-corner table gradient, ZERO
+    position cotangent (callers differentiate positions analytically)."""
+    idx, W, dW = enc._all_iw(xt, need_dw=True)
+    feats = _gather_all(table, idx)  # [L, F, 8, N]
+    w = W.astype(table.dtype)
+    dw = dW.astype(table.dtype)
+    out = jnp.sum(w[:, None] * feats, axis=2)  # [L, F, N]
+    dout = jnp.einsum("lacn,lfcn->lafn", dw, feats)  # [L, 3, F, N]
+    n = xt.shape[1]
+    l, f, t = table.shape
+    dout_n = dout.transpose(3, 1, 0, 2).reshape(n, 3, l * f)
+    return _assemble_all(out), dout_n
+
+
+def _encode_all_dx_fwd(enc, table, xt):
+    return _encode_all_dx(enc, table, xt), (table.shape, xt)
+
+
+def _unassemble_dx(g_d: jnp.ndarray, l: int, f: int) -> jnp.ndarray:
+    """[N, 3, L*F] cotangent → [L, 3, F, N]."""
+    n = g_d.shape[0]
+    return g_d.reshape(n, 3, l, f).transpose(2, 1, 3, 0)
+
+
+def _encode_all_dx_bwd(enc, res, gs):
+    (l, f, t), xt = res
+    g_out, g_d = gs
+    idx, W, dW = enc._all_iw(xt, need_dw=True)
+    go = _unassemble_all(g_out, l, f)  # [L, F, N]
+    gd = _unassemble_dx(g_d, l, f)  # [L, 3, F, N]
+    upd = W[:, None].astype(go.dtype) * go[:, :, None, :]  # [L, F, 8, N]
+    upd = upd + jnp.einsum("lacn,lafn->lfcn", dW.astype(go.dtype), gd)
+    dtable = _scatter_levels(idx.reshape(l, -1), upd.reshape(l, f, -1), t)
+    return dtable, jnp.zeros_like(xt)
+
+
+_encode_all_dx.defvjp(_encode_all_dx_fwd, _encode_all_dx_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _encode_all_dx_stoch(enc: "HashGridEncoding", table, xt, salt):
+    """= ``_encode_all_dx`` forward; backward samples ONE corner UNIFORMLY
+    (p=1/8, value ×8) per (level, sample) — vectorized
+    ``_level_encode_dx_stoch`` (mixed-sign cotangent ⇒ uniform, not
+    importance, stays unbiased)."""
+    idx, W, dW = enc._all_iw(xt, need_dw=True)
+    feats = _gather_all(table, idx)
+    w = W.astype(table.dtype)
+    dw = dW.astype(table.dtype)
+    out = jnp.sum(w[:, None] * feats, axis=2)
+    dout = jnp.einsum("lacn,lfcn->lafn", dw, feats)
+    n = xt.shape[1]
+    l, f, t = table.shape
+    dout_n = dout.transpose(3, 1, 0, 2).reshape(n, 3, l * f)
+    return _assemble_all(out), dout_n
+
+
+def _encode_all_dx_stoch_fwd(enc, table, xt, salt):
+    return _encode_all_dx_stoch(enc, table, xt, salt), (table.shape, xt, salt)
+
+
+def _encode_all_dx_stoch_bwd(enc, res, gs):
+    (l, f, t), xt, salt = res
+    g_out, g_d = gs
+    n = xt.shape[1]
+    idx, W, dW = enc._all_iw(xt, need_dw=True)
+    go = _unassemble_all(g_out, l, f)  # [L, F, N]
+    gd = _unassemble_dx(g_d, l, f)  # [L, 3, F, N]
+    u = _cheap_hash_u_all(n, l, salt)
+    c = jnp.minimum((u * 8.0).astype(jnp.int32), 7)  # [L, N] uniform corner
+    rows = jnp.take_along_axis(idx, c[:, None, :], axis=1)[:, 0, :]  # [L, N]
+    w_c = jnp.take_along_axis(W.astype(go.dtype), c[:, None, :], axis=1)  # [L,1,N]
+    upd = w_c * go  # [L, F, N]
+    dw_c = jnp.take_along_axis(
+        dW.astype(go.dtype), c[:, None, None, :], axis=2
+    )[:, :, 0, :]  # [L, 3, N]
+    upd = upd + jnp.einsum("lan,lafn->lfn", dw_c, gd)
+    dtable = _scatter_levels(rows, 8.0 * upd, t)
+    return dtable, jnp.zeros_like(xt), jnp.zeros_like(salt)
+
+
+_encode_all_dx_stoch.defvjp(_encode_all_dx_stoch_fwd, _encode_all_dx_stoch_bwd)

@@ -24,3 +24,15 @@ if "xla_force_host_platform_device_count" not in _flags:
 # sitecustomize already ran at interpreter start — harmless, registration
 # succeeds or is skipped, and JAX_PLATFORMS=cpu keeps compute on CPU.)
 os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+
+# A pytest plugin may have imported jax BEFORE this conftest ran, in which
+# case jax.config latched the ambient JAX_PLATFORMS (= axon/TPU) at import
+# and the env set above is ignored — tests would silently run on the TPU
+# (observed r2: 4-minute single tests + Pallas paths active).  Re-point the
+# live config; backends have not been initialised yet at collection time.
+try:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+except ImportError:  # pragma: no cover
+    pass

@@ -273,3 +273,113 @@ class TestStochasticTableGrads:
         # shrinking with more salts
         assert err_full < 0.2, (err_half, err_full)
         assert err_full < err_half * 1.05, (err_half, err_full)
+
+
+class TestVectorizedLevels:
+    """The all-levels-in-one encode (``HashGridConfig.vectorized``) must
+    match the per-level ops exactly — values, cotangents, and (same salt/u)
+    the stochastic corner draws."""
+
+    def _pair(self, **kw):
+        base = dict(
+            num_levels=6, features_per_level=2, log2_hashmap_size=12,
+            base_res=4, max_res=128,  # spans dense AND hashed levels
+        )
+        base.update(kw)
+        vec = HashGridEncoding(HashGridConfig(vectorized=True, **base))
+        ref = HashGridEncoding(HashGridConfig(vectorized=False, **base))
+        table = vec.init(jax.random.PRNGKey(0))
+        x = jax.random.uniform(jax.random.PRNGKey(1), (64, 3))
+        return vec, ref, table, x
+
+    def test_forward_parity_all_variants(self):
+        vec, ref, table, x = self._pair()
+        salt = jnp.uint32(99)
+        u = jax.random.uniform(jax.random.PRNGKey(2), (x.shape[0],))
+        for kw in (
+            dict(),
+            dict(custom_take=True),
+            dict(custom_take=True, stoch_salt=salt),
+            dict(stoch_u=u),
+            dict(stoch_u=u, stoch_fwd=True),
+        ):
+            a = np.asarray(vec(table, x, **kw))
+            b = np.asarray(ref(table, x, **kw))
+            np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7, err_msg=str(kw))
+
+    def test_forward_parity_smoothstep(self):
+        vec, ref, table, x = self._pair(smoothstep=True)
+        np.testing.assert_allclose(
+            np.asarray(vec(table, x, custom_take=True)),
+            np.asarray(ref(table, x, custom_take=True)),
+            rtol=1e-6, atol=1e-7,
+        )
+
+    def test_encode_with_dx_parity(self):
+        vec, ref, table, x = self._pair()
+        for salt in (None, jnp.uint32(5)):
+            ov, dv = vec.encode_with_dx(table, x, stoch_salt=salt)
+            orf, drf = ref.encode_with_dx(table, x, stoch_salt=salt)
+            np.testing.assert_allclose(np.asarray(ov), np.asarray(orf), rtol=1e-6, atol=1e-7)
+            np.testing.assert_allclose(np.asarray(dv), np.asarray(drf), rtol=1e-5, atol=1e-5)
+
+    def test_backward_parity_exact(self):
+        """8-corner table gradient + position cotangent, vec vs per-level."""
+        vec, ref, table, x = self._pair()
+
+        def loss(enc_obj):
+            def f(t, p):
+                return jnp.sum(jnp.sin(enc_obj(t, p, custom_take=True)))
+            return jax.grad(f, argnums=(0, 1))(table, x)
+
+        gt_v, gx_v = loss(vec)
+        gt_r, gx_r = loss(ref)
+        np.testing.assert_allclose(np.asarray(gt_v), np.asarray(gt_r), rtol=1e-5, atol=3e-6)
+        np.testing.assert_allclose(np.asarray(gx_v), np.asarray(gx_r), rtol=1e-5, atol=1e-7)
+
+    def test_backward_parity_stoch_salt_bitmatched(self):
+        """Same salt ⇒ the SAME sampled corners ⇒ identical stochastic
+        table gradients (the vectorized hash replicates ``_cheap_hash_u``
+        per level bit-for-bit)."""
+        vec, ref, table, x = self._pair()
+        salt = jnp.uint32(1234)
+
+        def g(enc_obj):
+            def f(t):
+                return jnp.sum(jnp.sin(enc_obj(t, x, custom_take=True, stoch_salt=salt)))
+            return jax.grad(f)(table)
+
+        np.testing.assert_allclose(
+            np.asarray(g(vec)), np.asarray(g(ref)), rtol=1e-5, atol=3e-6
+        )
+
+    def test_backward_parity_dx_stoch_bitmatched(self):
+        vec, ref, table, x = self._pair()
+        salt = jnp.uint32(77)
+
+        def g(enc_obj):
+            def f(t):
+                o, d = enc_obj.encode_with_dx(table=t, x=x, stoch_salt=salt)
+                return jnp.sum(jnp.sin(o)) + jnp.sum(jnp.cos(d))
+            return jax.grad(f)(table)
+
+        np.testing.assert_allclose(
+            np.asarray(g(vec)), np.asarray(g(ref)), rtol=1e-5, atol=3e-6
+        )
+
+    def test_backward_parity_stoch_u_bitmatched(self):
+        """Caller-uniform variants (proposal paths), same u ⇒ same draws."""
+        vec, ref, table, x = self._pair()
+        u = jax.random.uniform(jax.random.PRNGKey(3), (x.shape[0],))
+        for fp in (False, True):
+            def g(enc_obj):
+                def f(t):
+                    return jnp.sum(
+                        jnp.sin(enc_obj(t, x, stoch_u=u, stoch_fwd=fp))
+                    )
+                return jax.grad(f)(table)
+
+            np.testing.assert_allclose(
+                np.asarray(g(vec)), np.asarray(g(ref)), rtol=1e-5, atol=3e-6,
+                err_msg=f"fp={fp}",
+            )

@@ -32,11 +32,20 @@ def main():
     ap.add_argument("log_every", nargs="?", type=int, default=100)
     ap.add_argument("--ddf-encoding", choices=("nerf", "hash"), default="nerf")
     ap.add_argument("--out", default=None, help="also append JSON records here")
+    ap.add_argument(
+        "--shadow-out", default=None,
+        help="render a sun shadow map of eval camera 0 at the end → PNG "
+        "(the 'shadows look like shadows' check, VERDICT r1 task 6)",
+    )
+    ap.add_argument(
+        "--ckpt-dir", default=None, help="save a final orbax checkpoint here"
+    )
     args = ap.parse_args()
     num_steps, log_every = args.steps, args.log_every
 
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     from neusky_tpu.configs.neusky_config import neusky_model_config
     from neusky_tpu.data.datamanager import DataManager, DataManagerConfig
@@ -95,7 +104,7 @@ def main():
         batch = dm.next_train(i)
         rng, k = jax.random.split(rng)
         params, opt_state, aux = step_fn(
-            params, opt_state, batch, k, jnp.asarray(float(i))
+            params, opt_state, batch, k, np.float32(i)
         )
         if (i + 1) % log_every == 0 or i == 0:
             rec = {
@@ -111,6 +120,37 @@ def main():
             if args.out:
                 with open(args.out, "a") as f:
                     f.write(json.dumps(rec) + "\n")
+
+    if args.ckpt_dir:
+        from neusky_tpu.engine.checkpoint import save_checkpoint
+
+        save_checkpoint(args.ckpt_dir, num_steps, params, opt_state)
+        print(json.dumps({"ckpt": args.ckpt_dir, "step": num_steps}), flush=True)
+
+    if args.shadow_out:
+        from neusky_tpu.engine.render_features import render_shadow_map
+
+        cams = scene["cameras"]
+        rb = cams.generate_rays(0)
+        h, w = int(cams.height), int(cams.width)
+        sm = render_shadow_map(
+            model, params, rb, jax.random.PRNGKey(7),
+            azimuth_deg=45.0, elevation_deg=45.0,
+        )
+        img = np.clip(sm["shadow"].reshape(h, w), 0.0, 1.0)
+        from neusky_tpu.utils.viz import save_png
+
+        save_png(args.shadow_out, np.stack([img] * 3, axis=-1))
+        print(
+            json.dumps(
+                {
+                    "shadow_out": args.shadow_out,
+                    "shadow_mean": round(float(img.mean()), 4),
+                    "shadow_std": round(float(img.std()), 4),
+                }
+            ),
+            flush=True,
+        )
 
 
 if __name__ == "__main__":
