@@ -244,29 +244,10 @@ class RENITrainer:
         return np.asarray(hdr).reshape(sampler.height, width, 3)
 
 
-def convert_torch_reni_checkpoint(ckpt_path: str, config: RENIFieldConfig):
-    """Convert a published RENI++ torch checkpoint (``latent_dim_100/
-    nerfstudio_models/step-000050000.ckpt``) to this decoder's param tree.
-
-    The reference filters keys under ``_model.field.`` excluding
-    train/eval mu+logvar (``neusky_model.py:286-300``).  Architecture naming
-    differs between the (unavailable) ns_reni source and this rebuild, so
-    the mapping must be completed against a real checkpoint; this function
-    loads and name-filters the state dict and raises with the key inventory
-    if the mapping is incomplete — intentionally loud, not silent.
-    """
-    import torch
-
-    ckpt = torch.load(ckpt_path, map_location="cpu", weights_only=False)
-    match, ignore = "_model.field.", (
-        "train_logvar", "eval_logvar", "train_mu", "eval_mu",
-    )
-    filtered = {
-        k[len(match):]: v.numpy()
-        for k, v in ckpt["pipeline"].items()
-        if k.startswith(match) and not any(s in k for s in ignore)
-    }
-    raise NotImplementedError(
-        "torch→jax RENI++ weight mapping requires the ns_reni layer naming; "
-        f"checkpoint provides {len(filtered)} tensors: {sorted(filtered)[:10]}..."
-    )
+# torch→jax checkpoint conversion lives in engine/reni_convert.py
+# (name-mapped nn.Linear / nn.MultiheadAttention layouts, round-trip
+# tested); re-exported here for the original import site.
+from neusky_tpu.engine.reni_convert import (  # noqa: E402,F401
+    convert_torch_reni_checkpoint,
+    params_to_torch_state,
+)
