@@ -28,14 +28,17 @@ import numpy as np
 _PAGE = """<!doctype html><html><head><title>neusky-tpu viewer</title>
 <style>body{font-family:sans-serif;background:#111;color:#eee;margin:20px}
 img{image-rendering:pixelated;border:1px solid #444}
-label{display:inline-block;width:130px}</style></head><body>
+label{display:inline-block;width:130px}
+#probe{position:absolute;border:2px solid #fa0;display:none}
+#wrap{position:relative;display:inline-block}</style></head><body>
 <h2>neusky-tpu viewer</h2>
-<div><img id="view" width="512" height="512"/></div>
+<div id="wrap"><img id="view" width="512" height="512"/>
+<img id="probe" width="128" height="64"/></div>
 <div>
 <p><label>mode</label><select id="mode">
 <option>rgb</option><option>albedo</option><option>normal</option>
 <option>depth</option><option>accumulation</option><option>shadow_map</option>
-<option>ddf_depth</option></select></p>
+<option>ddf_depth</option><option>ddf_overlay</option></select></p>
 <p><label>azimuth</label><input id="az" type="range" min="-180" max="180" value="0"/></p>
 <p><label>elevation</label><input id="el" type="range" min="-80" max="80" value="20"/></p>
 <p><label>distance</label><input id="dist" type="range" min="5" max="30" value="12"/></p>
@@ -43,15 +46,31 @@ label{display:inline-block;width:130px}</style></head><body>
 <p><label>sun elevation</label><input id="sel" type="range" min="0" max="90" value="45"/></p>
 <p><label>threshold</label><input id="thr" type="range" min="0" max="200" value="50"/></p>
 <p><label>sigmoid scale</label><input id="sig" type="range" min="1" max="500" value="50"/></p>
+<p style="color:#888">click the image to open a sky-visibility probe at that
+surface point (reference: ViewerClick → shadow envmap overlay)</p>
 <button onclick="render()">render</button></div>
 <script>
-function render(){
-  const q = new URLSearchParams({
+function params(){
+  return new URLSearchParams({
     mode: document.getElementById('mode').value,
     az: az.value, el: el.value, dist: (dist.value/10),
     saz: saz.value, sel: sel.value, thr: (thr.value/100), sig: sig.value});
-  document.getElementById('view').src = '/render?' + q.toString() + '&t=' + Date.now();
 }
+function render(){
+  document.getElementById('probe').style.display = 'none';
+  document.getElementById('view').src = '/render?' + params().toString() + '&t=' + Date.now();
+}
+document.getElementById('view').addEventListener('click', (e) => {
+  const r = e.target.getBoundingClientRect();
+  const q = params();
+  q.set('px', (e.clientX - r.left) / r.width);
+  q.set('py', (e.clientY - r.top) / r.height);
+  const probe = document.getElementById('probe');
+  probe.style.left = (e.clientX - r.left - 64) + 'px';
+  probe.style.top = (e.clientY - r.top - 32) + 'px';
+  probe.style.display = 'block';
+  probe.src = '/probe?' + q.toString() + '&t=' + Date.now();
+});
 for (const id of ['mode','az','el','dist','saz','sel','thr','sig'])
   document.getElementById(id).addEventListener('change', render);
 render();
@@ -65,17 +84,12 @@ class ViewerState:
         self.resolution = resolution
         self.lock = threading.Lock()
 
-    def render(self, q) -> np.ndarray:
-        import jax
+    def _camera_rays(self, q):
         import jax.numpy as jnp
 
         from neusky_tpu.core.cameras import Cameras, CameraType
         from neusky_tpu.core.spherical import look_at_target
-        from neusky_tpu.engine.eval_loop import render_camera
-        from neusky_tpu.engine.render_features import render_shadow_map
-        from neusky_tpu.utils.viz import apply_colormap, apply_depth_colormap
 
-        mode = q.get("mode", ["rgb"])[0]
         az = np.deg2rad(float(q.get("az", [0])[0]))
         el = np.deg2rad(float(q.get("el", [20])[0]))
         dist = float(q.get("dist", [1.2])[0])
@@ -90,7 +104,53 @@ class ViewerState:
             cx=jnp.asarray([res / 2.0]), cy=jnp.asarray([res / 2.0]),
             width=res, height=res, camera_type=int(CameraType.PERSPECTIVE),
         )
-        rb = cam.generate_rays(0)
+        return cam.generate_rays(0)
+
+    def probe(self, q) -> np.ndarray:
+        """Click probe: unproject the clicked pixel through the rendered
+        depth to a surface point, then render the sky-visibility envmap at
+        that point (the reference's ViewerClick → shadow-envmap-overlay
+        path, ``neusky_model.py:1803-1810`` — whose render side is
+        commented out upstream at :1442-1444; implemented live here)."""
+        import jax
+
+        from neusky_tpu.engine.eval_loop import render_camera
+        from neusky_tpu.engine.render_features import render_shadow_probe
+        from neusky_tpu.utils.viz import apply_colormap
+
+        res = self.resolution
+        px = min(int(float(q.get("px", [0.5])[0]) * res), res - 1)
+        py = min(int(float(q.get("py", [0.5])[0]) * res), res - 1)
+        rb = self._camera_rays(q)
+        with self.lock:
+            outs = render_camera(
+                self.model, self.params, rb, 0, jax.random.PRNGKey(0),
+                chunk_size=res * res,
+            )
+            idx = py * res + px
+            depth = float(np.asarray(outs["depth"]).reshape(-1)[idx])
+            origin = np.asarray(rb.origins).reshape(-1, 3)[idx]
+            direction = np.asarray(rb.directions).reshape(-1, 3)[idx]
+            point = origin + depth * direction
+            vis = render_shadow_probe(
+                self.model, self.params, point, jax.random.PRNGKey(0),
+                side_length=64,
+                threshold=float(q.get("thr", [0.5])[0]),
+                sigmoid_scale=float(q.get("sig", [50])[0]),
+            )
+        return apply_colormap(vis)
+
+    def render(self, q) -> np.ndarray:
+        import jax
+        import jax.numpy as jnp
+
+        from neusky_tpu.engine.eval_loop import render_camera
+        from neusky_tpu.engine.render_features import render_shadow_map
+        from neusky_tpu.utils.viz import apply_colormap, apply_depth_colormap
+
+        mode = q.get("mode", ["rgb"])[0]
+        res = self.resolution
+        rb = self._camera_rays(q)
         with self.lock:
             if mode == "shadow_map":
                 out = render_shadow_map(
@@ -101,18 +161,27 @@ class ViewerState:
                     sigmoid_scale=float(q.get("sig", [50])[0]),
                 )
                 return apply_colormap(out["shadow_map"].reshape(res, res))
-            if mode == "ddf_depth":
-                import jax.numpy as jnp2
-
-                o = rb.origins / jnp2.maximum(
-                    jnp2.linalg.norm(rb.origins, axis=-1, keepdims=True), 1e-6
+            if mode in ("ddf_depth", "ddf_overlay"):
+                o = rb.origins / jnp.maximum(
+                    jnp.linalg.norm(rb.origins, axis=-1, keepdims=True), 1e-6
                 ) * self.model.config.ddf_radius
                 out = self.model.ddf.apply(
                     self.params["ddf_field"], o, rb.directions
                 )
                 dd = np.asarray(out["expected_termination_dist"]).reshape(res, res, 1)
-                return apply_depth_colormap(dd, near_plane=0.0,
-                                            far_plane=2 * self.model.config.ddf_radius)
+                ddf_img = apply_depth_colormap(
+                    dd, near_plane=0.0, far_plane=2 * self.model.config.ddf_radius
+                )
+                if mode == "ddf_depth":
+                    return ddf_img
+                # "Show DDF" overlay (``neusky_model.py:924-929``): DDF
+                # depth blended over the scene render
+                outs = render_camera(
+                    self.model, self.params, rb, 0, jax.random.PRNGKey(0),
+                    chunk_size=res * res,
+                )
+                rgb = np.asarray(outs["rgb"]).reshape(res, res, 3)
+                return 0.5 * rgb + 0.5 * np.asarray(ddf_img)
             outs = render_camera(self.model, self.params, rb, 0, jax.random.PRNGKey(0),
                                  chunk_size=res * res)
             if mode == "rgb":
@@ -142,14 +211,17 @@ def make_handler(state: ViewerState):
                 self.end_headers()
                 self.wfile.write(_PAGE.encode())
                 return
-            if url.path == "/render":
+            if url.path in ("/render", "/probe"):
                 try:
-                    img = state.render(parse_qs(url.query))
+                    q = parse_qs(url.query)
+                    img = state.probe(q) if url.path == "/probe" else state.render(q)
                     from PIL import Image
 
                     buf = io.BytesIO()
                     arr = np.clip(img * 255, 0, 255).astype(np.uint8)
-                    Image.fromarray(arr).resize((512, 512), Image.NEAREST).save(
+                    h, w = arr.shape[:2]
+                    out_size = (512, 512) if url.path == "/render" else (2 * w, 2 * h)
+                    Image.fromarray(arr).resize(out_size, Image.NEAREST).save(
                         buf, "PNG"
                     )
                     self.send_response(200)
