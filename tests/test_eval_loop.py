@@ -5,6 +5,8 @@ import jax
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # full-model compile / subprocess mesh / HTTP
+
 from neusky_tpu.configs.tiny_config import tiny_model_config
 from neusky_tpu.data.datamanager import DataManager, DataManagerConfig
 from neusky_tpu.data.pixel_sampler import PixelSamplerConfig

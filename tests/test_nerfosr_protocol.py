@@ -9,6 +9,8 @@ import jax
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # full-model compile / subprocess mesh / HTTP
+
 from neusky_tpu.data.fixtures import make_nerfosr_fixture
 
 

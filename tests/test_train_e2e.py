@@ -10,6 +10,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # full-model compile / subprocess mesh / HTTP
+
 from neusky_tpu.data.datamanager import DataManager, DataManagerConfig
 from neusky_tpu.data.pixel_sampler import PixelSamplerConfig
 from neusky_tpu.data.synthetic import SyntheticSceneConfig, generate_synthetic_scene

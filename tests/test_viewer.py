@@ -9,6 +9,8 @@ import jax
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # full-model compile / subprocess mesh / HTTP
+
 from neusky_tpu.configs.tiny_config import tiny_model_config
 from neusky_tpu.models.neusky import NeuSkyModel
 from neusky_tpu.viewer import ViewerState
