@@ -204,7 +204,8 @@ class HashGridEncoding:
         Semantically identical to L calls of ``_level_iw`` stacked on axis
         0, but emitted as single [L, ...] ops so each hash call site is a
         handful of large fusions instead of ~30 small ops × L levels (the
-        per-level tail dominated the traced step, PERF.md r2).  Both the
+        dispatch-tail hypothesis — measured SLOWER overall on v5e, see
+        ``HashGridConfig.vectorized``; kept for other backends).  Both the
         dense and hashed index formulas are computed for every level and
         selected by the static per-level mask; the dense arithmetic is
         clamped to the largest in-table resolution so it cannot overflow
