@@ -229,7 +229,9 @@ def average_eval_metrics(
     chunk_size: int = 4096,
     fit_latents_first: bool = True,
 ) -> Dict[str, float]:
-    """``get_average_eval_image_metrics`` equivalent."""
+    """``get_average_eval_image_metrics`` equivalent (throughput fields
+    ``num_rays_per_sec``/``fps`` come from ``eval_image_metrics`` —
+    ``neusky_pipeline.py:420-431``)."""
     if fit_latents_first:
         rng, k = jax.random.split(rng)
         params, _ = fit_eval_latents(model, params, datamanager, k)
@@ -244,7 +246,12 @@ def average_eval_metrics(
         m.pop("outputs")
         per_image.append(m)
     keys = [k for k in per_image[0] if per_image[0][k] is not None]
-    return {k: float(np.mean([m[k] for m in per_image])) for k in keys}
+    out = {k: float(np.mean([m[k] for m in per_image])) for k in keys}
+    if len(per_image) > 1:
+        # image 0 pays the chunk_fn jit compile; exclude it from throughput
+        for k in ("num_rays_per_sec", "fps"):
+            out[k] = float(np.mean([m[k] for m in per_image[1:]]))
+    return out
 
 
 # ---------------------------------------------------------------------------
