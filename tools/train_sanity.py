@@ -40,6 +40,15 @@ def main():
     ap.add_argument(
         "--ckpt-dir", default=None, help="save a final orbax checkpoint here"
     )
+    ap.add_argument(
+        "--ckpt-every", type=int, default=0,
+        help="also checkpoint every N steps (guards long runs against "
+        "tunnel wedges — see .claude/skills/verify/SKILL.md)",
+    )
+    ap.add_argument(
+        "--resume", action="store_true",
+        help="resume from the latest checkpoint in --ckpt-dir",
+    )
     args = ap.parse_args()
     num_steps, log_every = args.steps, args.log_every
 
@@ -98,15 +107,29 @@ def main():
     opt_state = optimizer.init(params)
     step_fn = make_train_step(model, pipe, optimizer)
 
-    rng = jax.random.PRNGKey(1)
+    start = 0
+    if args.resume and args.ckpt_dir:
+        from neusky_tpu.engine.checkpoint import latest_step, load_checkpoint
+
+        if latest_step(args.ckpt_dir) is not None:
+            params, opt_state, start = load_checkpoint(
+                args.ckpt_dir, None, params, opt_state
+            )
+            print(json.dumps({"resumed_from": start}), flush=True)
+
+    rng = jax.random.fold_in(jax.random.PRNGKey(1), start)
     t0 = time.perf_counter()
-    for i in range(num_steps):
+    for i in range(start, num_steps):
         batch = dm.next_train(i)
         rng, k = jax.random.split(rng)
         params, opt_state, aux = step_fn(
             params, opt_state, batch, k, np.float32(i)
         )
-        if (i + 1) % log_every == 0 or i == 0:
+        if args.ckpt_every and args.ckpt_dir and (i + 1) % args.ckpt_every == 0:
+            from neusky_tpu.engine.checkpoint import save_checkpoint
+
+            save_checkpoint(args.ckpt_dir, i + 1, params, opt_state)
+        if (i + 1) % log_every == 0 or i == start:
             rec = {
                 "step": i + 1,
                 "ddf_encoding": args.ddf_encoding,
@@ -137,7 +160,7 @@ def main():
             model, params, rb, jax.random.PRNGKey(7),
             azimuth_deg=45.0, elevation_deg=45.0,
         )
-        img = np.clip(sm["shadow"].reshape(h, w), 0.0, 1.0)
+        img = np.clip(sm["shadow_map"].reshape(h, w), 0.0, 1.0)
         from neusky_tpu.utils.viz import save_png
 
         save_png(args.shadow_out, np.stack([img] * 3, axis=-1))
