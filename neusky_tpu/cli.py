@@ -64,7 +64,11 @@ def _apply_overrides(bundle: Dict[str, Any], overrides: list) -> Dict[str, Any]:
     return bundle
 
 
-def _build_datamanager(args, model_config):
+def _build_datamanager(args, model_config, dataparser: str = "nerfosr"):
+    """``dataparser`` comes from the method spec (``MethodSpec.build()``'s
+    ``dataparser`` key): ``nerfosr`` | ``custom_neusky`` (Blender-synthetic,
+    used by the ``neusky-synthetic`` method — reference
+    ``configs/neusky_synthetic_config.py:45-62``)."""
     import numpy as np
 
     from neusky_tpu.data.datamanager import DataManager, DataManagerConfig
@@ -90,15 +94,26 @@ def _build_datamanager(args, model_config):
             scene["cameras"], scene["images"], scene["masks"],
         )
 
-    from neusky_tpu.data.dataparsers.nerfosr import (
-        NeRFOSRDataparserConfig,
-        parse_nerfosr_scene,
-    )
     from neusky_tpu.data.dataset import NeuSkyDataset
 
-    parser_cfg = NeRFOSRDataparserConfig(data=args.data, scene=args.scene)
-    train_po = parse_nerfosr_scene(parser_cfg, "train")
-    val_po = parse_nerfosr_scene(parser_cfg, "validation")
+    if dataparser == "custom_neusky":
+        from neusky_tpu.data.dataparsers.custom_synthetic import (
+            CustomSyntheticDataparserConfig,
+            parse_custom_synthetic_scene,
+        )
+
+        parser_cfg = CustomSyntheticDataparserConfig(data=args.data)
+        train_po = parse_custom_synthetic_scene(parser_cfg, "train")
+        val_po = parse_custom_synthetic_scene(parser_cfg, "val")
+    else:
+        from neusky_tpu.data.dataparsers.nerfosr import (
+            NeRFOSRDataparserConfig,
+            parse_nerfosr_scene,
+        )
+
+        parser_cfg = NeRFOSRDataparserConfig(data=args.data, scene=args.scene)
+        train_po = parse_nerfosr_scene(parser_cfg, "train")
+        val_po = parse_nerfosr_scene(parser_cfg, "validation")
     train_data = NeuSkyDataset(train_po, "train", args.downscale).load()
     val_data = NeuSkyDataset(val_po, "val", args.downscale).load()
     u = min(16, train_data["images"].shape[0])
@@ -125,7 +140,7 @@ def cmd_train(args, overrides):
     bundle = spec.build()
     bundle = _apply_overrides(bundle, overrides)
     model_config = bundle["model_config"]
-    dm = _build_datamanager(args, model_config)
+    dm = _build_datamanager(args, model_config, bundle.get("dataparser", "nerfosr"))
     # align latent counts with the data
     model_config = dataclasses.replace(
         model_config,

@@ -92,3 +92,20 @@ neusky_tiny_method = register_method(
         build=_build,
     )
 )
+
+
+def _build_synthetic_tiny(num_train_data: int = 6, num_eval_data: int = 2, **_):
+    """Tiny model on the Blender-synthetic data path — e2e coverage of the
+    ``neusky-synthetic`` wiring (``custom_neusky`` dataparser) at CPU scale."""
+    bundle = _build(num_train_data, num_eval_data)
+    bundle["dataparser"] = "custom_neusky"
+    return bundle
+
+
+neusky_synthetic_tiny_method = register_method(
+    MethodSpec(
+        name="neusky-synthetic-tiny",
+        description="Tiny model on Blender-synthetic data (CI for the synthetic path).",
+        build=_build_synthetic_tiny,
+    )
+)

@@ -142,3 +142,51 @@ def make_nerfosr_fixture(
                     )
                 idx += 1
     return root
+
+
+def make_blender_fixture(
+    root: str | Path,
+    num_train: int = 4,
+    num_val: int = 2,
+    width: int = 32,
+    height: int = 24,
+    seed: int = 0,
+) -> Path:
+    """Fabricated Blender-synthetic dataset for the ``custom_neusky``
+    dataparser (reference ``custom_neusky_dataparser.py:162-596``):
+    ``transforms.json`` with per-frame intrinsics, c2w matrices, envmap
+    name/rotation metadata, plus rgb PNGs rendered with the same lit-scene
+    generator as the NeRF-OSR fixture (no segmentation — synthetic data
+    carries no cityscapes masks, the dataset defaults to all-static)."""
+    import json
+
+    from PIL import Image
+
+    root = Path(root)
+    rng = np.random.default_rng(seed)
+    fl = width * 1.2
+    frames = []
+    tint = _SESSION_TINTS[0]
+    for split, n in (("train", num_train), ("validation", num_val)):
+        (root / split / "rgb").mkdir(parents=True, exist_ok=True)
+        for i in range(n):
+            name = f"{split}/rgb/{i:04d}.png"
+            cam_x = (i - n / 2) * 0.15
+            view = _render_view(width, height, cam_x, tint, rng)
+            Image.fromarray(view["rgb"]).save(root / name)
+            c2w = np.eye(4)
+            c2w[:3, 3] = [cam_x, 0.1 * np.sin(i), 1.5]
+            frames.append(
+                {
+                    "file_path": name,
+                    "transform_matrix": c2w.tolist(),
+                    "envmap_name": f"sky_{i % 2}",
+                    "envmap_rotation": [0.0, 0.0, 0.1 * i],
+                }
+            )
+    meta = {
+        "fl_x": fl, "fl_y": fl, "cx": width / 2, "cy": height / 2,
+        "frames": frames,
+    }
+    (root / "transforms.json").write_text(json.dumps(meta))
+    return root

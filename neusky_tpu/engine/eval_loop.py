@@ -402,7 +402,7 @@ def _load_run(args, overrides):
     spec = METHOD_REGISTRY[args.method]
     bundle = _apply_overrides(spec.build(), overrides)
     model_config = bundle["model_config"]
-    dm = _build_datamanager(args, model_config)
+    dm = _build_datamanager(args, model_config, bundle.get("dataparser", "nerfosr"))
     model_config = dc.replace(
         model_config, num_train_data=dm.num_train, num_eval_data=max(dm.num_eval, 1)
     )
