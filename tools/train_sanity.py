@@ -49,6 +49,14 @@ def main():
         "--resume", action="store_true",
         help="resume from the latest checkpoint in --ckpt-dir",
     )
+    ap.add_argument(
+        "--segment-steps", type=int, default=0,
+        help="exit cleanly (after a checkpoint) once this many steps ran in "
+        "THIS invocation — long runs go as a bash resume-loop of bounded "
+        "segments because the device tunnel can wedge a process after "
+        "~1h of continuous stepping (see .claude/skills/verify/SKILL.md); "
+        "exit code 3 means 'segment done, more steps remain'",
+    )
     args = ap.parse_args()
     num_steps, log_every = args.steps, args.log_every
 
@@ -129,6 +137,17 @@ def main():
             from neusky_tpu.engine.checkpoint import save_checkpoint
 
             save_checkpoint(args.ckpt_dir, i + 1, params, opt_state)
+        if (
+            args.segment_steps
+            and args.ckpt_dir
+            and (i + 1) - start >= args.segment_steps
+            and (i + 1) < num_steps
+        ):
+            from neusky_tpu.engine.checkpoint import save_checkpoint
+
+            save_checkpoint(args.ckpt_dir, i + 1, params, opt_state)
+            print(json.dumps({"segment_done_at": i + 1}), flush=True)
+            sys.exit(3)
         if (i + 1) % log_every == 0 or i == start:
             rec = {
                 "step": i + 1,
