@@ -1,30 +1,54 @@
 #!/bin/bash
-# Segmented long-run driver: the axon tunnel can WEDGE a TPU process after
-# ~1h of continuous stepping (observed twice, 2026-08-17), so long
-# train_sanity runs execute as bounded segments with checkpoint+resume.
-# A wedged segment is killed by `timeout` and the loop resumes from the
-# last checkpoint — cost of a wedge is ≤ one segment, not the run.
+# Segmented long-run driver: the axon tunnel can WEDGE a TPU process
+# mid-run (observed three times, 2026-08-17: zero CPU, blocked forever in a
+# device call). Long train_sanity runs therefore execute as bounded
+# segments with checkpoint+resume AND a log-staleness watchdog: if the
+# JSONL log stops advancing for STALE_S seconds, the segment is killed and
+# the loop resumes from the last checkpoint — a wedge costs minutes, not
+# the run.
 #
 # Usage: tools/run_segmented.sh <total_steps> <ckpt_dir> <out_jsonl> [extra args...]
 set -u
 TOTAL=$1; CKPT=$2; OUT=$3; shift 3
-SEG=${SEG:-2000}            # steps per segment (~14 min + compile)
-SEG_TIMEOUT=${SEG_TIMEOUT:-1800}
-COOLDOWN=${COOLDOWN:-90}    # tunnel lease release between processes
+SEG=${SEG:-2000}           # steps per segment invocation
+STALE_S=${STALE_S:-300}    # no log progress for this long → kill segment
+GRACE_S=${GRACE_S:-420}    # allowance for compile+restore before first log
+COOLDOWN=${COOLDOWN:-90}   # tunnel lease release between processes
 
-for attempt in $(seq 1 40); do
-  timeout -k 30 "$SEG_TIMEOUT" python tools/train_sanity.py "$TOTAL" 500 \
-    --out "$OUT" --ckpt-dir "$CKPT" --resume --segment-steps "$SEG" "$@"
-  rc=$?
-  if [ "$rc" -eq 0 ]; then
+for attempt in $(seq 1 60); do
+  python tools/train_sanity.py "$TOTAL" 250 \
+    --out "$OUT" --ckpt-dir "$CKPT" --resume \
+    --segment-steps "$SEG" --ckpt-every 500 "$@" &
+  pid=$!
+  start=$(date +%s)
+  rc=""
+  while true; do
+    sleep 20
+    if ! kill -0 "$pid" 2>/dev/null; then
+      wait "$pid"; rc=$?
+      break
+    fi
+    now=$(date +%s)
+    if [ -f "$OUT" ]; then
+      age=$(( now - $(stat -c %Y "$OUT") ))
+    else
+      age=$(( now - start ))
+    fi
+    limit=$STALE_S
+    [ $(( now - start )) -lt "$GRACE_S" ] && limit=$GRACE_S
+    if [ "$age" -gt "$limit" ]; then
+      echo "{\"segment\": $attempt, \"status\": \"stale ${age}s — killing wedged pid $pid\"}"
+      kill "$pid" 2>/dev/null; sleep 5; kill -9 "$pid" 2>/dev/null
+      rc=99
+      break
+    fi
+  done
+  if [ "$rc" = "0" ]; then
     echo "{\"segmented_run\": \"complete\", \"attempts\": $attempt}"
     exit 0
-  elif [ "$rc" -eq 3 ]; then
-    echo "{\"segment\": $attempt, \"status\": \"ok\"}"
-  else
-    echo "{\"segment\": $attempt, \"status\": \"killed rc=$rc (wedge?)\"}"
   fi
+  echo "{\"segment\": $attempt, \"rc\": $rc}"
   sleep "$COOLDOWN"
 done
-echo '{"segmented_run": "gave up after 40 segments"}'
+echo '{"segmented_run": "gave up after 60 segments"}'
 exit 1
