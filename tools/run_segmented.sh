@@ -29,13 +29,17 @@ for attempt in $(seq 1 60); do
       break
     fi
     now=$(date +%s)
+    # staleness relative to the most recent of (segment start, last log
+    # write) — a pre-existing log file from an earlier attempt must not
+    # count against THIS segment's compile window
+    last=$start
     if [ -f "$OUT" ]; then
-      age=$(( now - $(stat -c %Y "$OUT") ))
-    else
-      age=$(( now - start ))
+      mt=$(stat -c %Y "$OUT")
+      [ "$mt" -gt "$last" ] && last=$mt
     fi
+    age=$(( now - last ))
     limit=$STALE_S
-    [ $(( now - start )) -lt "$GRACE_S" ] && limit=$GRACE_S
+    [ "$last" = "$start" ] && limit=$GRACE_S  # still compiling/restoring
     if [ "$age" -gt "$limit" ]; then
       echo "{\"segment\": $attempt, \"status\": \"stale ${age}s — killing wedged pid $pid\"}"
       kill "$pid" 2>/dev/null; sleep 5; kill -9 "$pid" 2>/dev/null
