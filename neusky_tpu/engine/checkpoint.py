@@ -58,7 +58,21 @@ def load_checkpoint(
         "opt_state": opt_state_template,
         "step": 0,
     }
-    restored = ckptr.restore(_ckpt_dir(Path(base), step).absolute(), item=target)
+    # restore_args pinned to the TEMPLATE's shardings: makes restore work
+    # across topologies (e.g. a TPU-saved checkpoint restored on CPU for
+    # diagnostics) — the checkpoint's recorded sharding names the saving
+    # platform and fails to resolve elsewhere.
+    def _ra(x):
+        if hasattr(x, "sharding"):
+            return ocp.ArrayRestoreArgs(sharding=x.sharding, dtype=x.dtype)
+        return ocp.RestoreArgs()
+
+    restore_args = jax.tree_util.tree_map(_ra, target)
+    restored = ckptr.restore(
+        _ckpt_dir(Path(base), step).absolute(),
+        item=target,
+        restore_args=restore_args,
+    )
     return restored["params"], restored["opt_state"], restored["step"]
 
 

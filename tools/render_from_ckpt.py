@@ -58,6 +58,18 @@ def main():
     params, _, step = load_checkpoint(args.ckpt_dir, None, params, opt_state)
     print(json.dumps({"loaded_step": int(step)}), flush=True)
 
+    # eval renders read EVAL latents (fit via fit_eval_latents in the real
+    # protocol); train_sanity never fits them, so for diagnosing the TRAIN
+    # fit copy the train latents/scales into the eval slots (cameras are
+    # shared between splits in the synthetic scene).
+    g = params["illumination_field"]
+    n_eval = params["eval_latents"]["eval_latents"].shape[0]
+    params = dict(params)
+    params["eval_latents"] = {
+        "eval_latents": g["train_latents"][:n_eval],
+        "eval_scale": g["train_scale"][:n_eval],
+    }
+
     scene = generate_synthetic_scene(
         SyntheticSceneConfig(num_cameras=8, width=64, height=64)
     )
