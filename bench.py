@@ -128,6 +128,9 @@ def main():
     )
 
     params = model.init(jax.random.PRNGKey(0))
+    from neusky_tpu.engine.checkpoint import load_illumination_prior
+
+    params = load_illumination_prior(params, cfg)  # frozen trained decoder
     optimizer = build_optimizer(params, default_neusky_optimizer_groups(100001))
     opt_state = optimizer.init(params)
     if os.environ.get("NEUSKY_BENCH_SPLIT", ""):

@@ -76,6 +76,35 @@ def load_checkpoint(
     return restored["params"], restored["opt_state"], restored["step"]
 
 
+def load_illumination_prior(params: Dict[str, Any], model_config) -> Dict[str, Any]:
+    """Restore the frozen RENI++ decoder from the configured trained prior
+    (reference ``neusky_model.py:272-300``: pretrained decoder load,
+    mu/logvar excluded).  EVERY training entry point must call this after
+    ``model.init`` — round-2 bug: ``tools/train_sanity.py`` skipped it and a
+    20k-step validation silently trained against a RANDOM frozen decoder
+    (sky unfittable, PSNR plateau ~10).  No-op when unconfigured; loud
+    warning when configured but missing."""
+    prior_dir = getattr(model_config, "illumination_prior_dir", None)
+    if not prior_dir:
+        return params
+    path = Path(prior_dir)
+    if not path.is_absolute():
+        repo_root = Path(__file__).resolve().parent.parent.parent
+        path = repo_root / path
+    if latest_step(path) is None:
+        print(
+            f"WARNING: illumination_prior_dir={path} has no checkpoint — "
+            "training against an UNTRAINED decoder "
+            "(run tools/train_reni_prior.py to produce one)"
+        )
+        return params
+    params = load_param_subtrees(
+        path, None, params, include=("illumination_decoder",)
+    )
+    print(f"loaded RENI++ prior decoder from {path}")
+    return params
+
+
 def load_param_subtrees(
     base: Path,
     step: Optional[int],

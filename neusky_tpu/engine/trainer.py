@@ -103,28 +103,10 @@ class Trainer:
         return self
 
     def _load_illumination_prior(self):
-        """Restore the frozen RENI++ decoder from a trained prior checkpoint
-        (reference ``neusky_model.py:272-300``: pretrained decoder loaded,
-        mu/logvar latents excluded).  No-op when unconfigured; loud when
-        configured but missing."""
-        prior_dir = getattr(self.model.config, "illumination_prior_dir", None)
-        if not prior_dir:
-            return
-        path = Path(prior_dir)
-        if not path.is_absolute():
-            repo_root = Path(__file__).resolve().parent.parent.parent
-            path = repo_root / path
-        if latest_step(path) is None:
-            print(
-                f"WARNING: illumination_prior_dir={path} has no checkpoint — "
-                "training against an UNTRAINED decoder "
-                "(run tools/train_reni_prior.py to produce one)"
-            )
-            return
-        self.params = load_param_subtrees(
-            path, None, self.params, include=("illumination_decoder",)
-        )
-        print(f"loaded RENI++ prior decoder from {path}")
+        """See ``engine.checkpoint.load_illumination_prior``."""
+        from neusky_tpu.engine.checkpoint import load_illumination_prior
+
+        self.params = load_illumination_prior(self.params, self.model.config)
 
     # ------------------------------------------------------------------
 

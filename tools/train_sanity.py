@@ -111,6 +111,9 @@ def main():
     )
 
     params = model.init(jax.random.PRNGKey(0))
+    from neusky_tpu.engine.checkpoint import load_illumination_prior
+
+    params = load_illumination_prior(params, cfg)
     optimizer = build_optimizer(params, default_neusky_optimizer_groups(num_steps + 1))
     opt_state = optimizer.init(params)
     step_fn = make_train_step(model, pipe, optimizer)
