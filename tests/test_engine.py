@@ -58,6 +58,32 @@ def test_checkpoint_subtree_restore(tmp_path):
     assert np.allclose(out2["ddf_field"]["w"], 0.0)
 
 
+def test_load_illumination_prior(tmp_path):
+    """Regression (r2): every training entry point must restore the trained
+    frozen decoder — train_sanity/bench once skipped it and trained against
+    a RANDOM decoder."""
+    import dataclasses
+
+    from neusky_tpu.engine.checkpoint import load_illumination_prior
+
+    prior_params = {"illumination_decoder": {"w": jnp.full((2,), 9.0)}}
+    save_checkpoint(tmp_path / "prior", 5, prior_params, {"o": jnp.zeros(1)})
+
+    @dataclasses.dataclass
+    class Cfg:
+        illumination_prior_dir: str = str(tmp_path / "prior")
+
+    params = {"illumination_decoder": {"w": jnp.zeros((2,))},
+              "fields": {"w": jnp.ones((1,))}}
+    out = load_illumination_prior(params, Cfg())
+    assert np.allclose(out["illumination_decoder"]["w"], 9.0)
+    assert np.allclose(out["fields"]["w"], 1.0)
+    # unconfigured → no-op; configured-but-missing → loud no-op
+    assert load_illumination_prior(params, Cfg(illumination_prior_dir="")) is params
+    out2 = load_illumination_prior(params, Cfg(illumination_prior_dir=str(tmp_path / "nope")))
+    assert np.allclose(out2["illumination_decoder"]["w"], 0.0)
+
+
 def test_writer(tmp_path):
     w = Writer(str(tmp_path))
     w.write_scalars(1, {"loss": 0.5})
