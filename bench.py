@@ -80,30 +80,33 @@ def main():
                 cfg.sdf_field, stochastic_table_grads=False
             ),
         )
-    if os.environ.get("NEUSKY_VECTORIZED", "") in ("0", "false"):
-        # A/B: per-level hash encode ops instead of all-levels-in-one
+    if os.environ.get("NEUSKY_VECTORIZED", "") != "":
+        # A/B: all-levels-in-one vs per-level hash encode ops
+        # (1 → vectorized, 0 → per-level; default = HashGridConfig default)
         import dataclasses
 
         from neusky_tpu.ops.hashgrid import HashGridConfig
 
-        def _unvec(node):
+        vec = os.environ["NEUSKY_VECTORIZED"] not in ("0", "false")
+
+        def _setvec(node):
             if isinstance(node, HashGridConfig):
-                return dataclasses.replace(node, vectorized=False)
+                return dataclasses.replace(node, vectorized=vec)
             if dataclasses.is_dataclass(node) and not isinstance(node, type):
                 return dataclasses.replace(
                     node,
                     **{
-                        f.name: _unvec(getattr(node, f.name))
+                        f.name: _setvec(getattr(node, f.name))
                         for f in dataclasses.fields(node)
                         if dataclasses.is_dataclass(getattr(node, f.name))
                         or isinstance(getattr(node, f.name), tuple)
                     },
                 )
             if isinstance(node, tuple):
-                return tuple(_unvec(v) for v in node)
+                return tuple(_setvec(v) for v in node)
             return node
 
-        cfg = _unvec(cfg)
+        cfg = _setvec(cfg)
     model = NeuSkyModel(cfg)
     pipe = PipelineConfig(
         visibility_train_sampler=DDFSamplerConfig(

@@ -93,6 +93,16 @@ class DataManager:
     def num_eval(self) -> int:
         return self.eval_sampler.num_images if self.eval_sampler else 0
 
+    def reseed(self, step: int) -> None:
+        """Advance the host sampling stream to a resume step: a resumed run
+        must NOT replay the batch sequence from position 0 (the stateful
+        numpy Generator restarts identically otherwise — found in the r2
+        segmented-resume review).  Folding the step into the seed gives a
+        distinct, deterministic stream per resume point."""
+        self.train_sampler.rng = np.random.default_rng(
+            (self.config.seed, step)
+        )
+
     def next_train(self, step: int = 0) -> Dict:
         """Scene batch + sky-ray bundle (``next_train`` + DDF sky rays)."""
         if self._native is not None:

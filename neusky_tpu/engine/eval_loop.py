@@ -314,13 +314,25 @@ def run_nerfosr_protocol(
         )
     keys = [k for k in ("psnr", "ssim", "lpips", "mse", "num_rays_per_sec")
             if per_image and per_image[0][k] is not None]
-    return {
+    mean = {k: float(np.mean([p[k] for p in per_image])) for k in keys}
+    if len(per_image) > 1 and "num_rays_per_sec" in keys:
+        # image 0 pays the chunk_fn jit compile — exclude from throughput
+        # (same rule as average_eval_metrics)
+        mean["num_rays_per_sec"] = float(
+            np.mean([p["num_rays_per_sec"] for p in per_image[1:]])
+        )
+    out = {
         "per_image": per_image,
-        "mean": {k: float(np.mean([p[k] for p in per_image])) for k in keys},
+        "mean": mean,
         "fit_loss_first": fit_losses[0],
         "fit_loss_last": fit_losses[-1],
         "num_sessions": protocol.num_sessions,
     }
+    if "lpips" in keys:
+        # random-VGG LPIPS is a valid distance but NOT comparable to
+        # published pretrained numbers — always label the flavour
+        out["lpips_flavour"] = M.lpips_flavour()
+    return out
 
 
 def run_nerfosr_eval(args, overrides):
@@ -378,7 +390,12 @@ def run_nerfosr_eval(args, overrides):
         model, params, protocol, jax.random.PRNGKey(1),
         least_squares_scale=model_config.optimise_compare_eval_scale,
     )
-    out_path = Path(getattr(args, "output", "") or "nerfosr_eval.json")
+    # --output is shared across subcommands with the RENDER default
+    # ("render.npy"); treat that default as unset here
+    raw_out = getattr(args, "output", "")
+    if not raw_out or raw_out == "render.npy":
+        raw_out = "nerfosr_eval.json"
+    out_path = Path(raw_out)
     if out_path.suffix != ".json":
         out_path = out_path.with_suffix(".json")
     out_path.write_text(json.dumps(result, indent=2))

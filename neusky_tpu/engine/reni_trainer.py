@@ -130,8 +130,15 @@ class RENITrainer:
         return jax.jit(step_fn, donate_argnums=(0, 1))
 
     def run(self, num_steps: Optional[int] = None, log_every: int = 500, log_fn=None):
-        target = self.step + (num_steps or self.config.num_steps)
+        requested = num_steps or self.config.num_steps
         per_call = self.config.steps_per_call
+        # steps advance in whole scan chunks — round the request up front so
+        # the overshoot is explicit (self.step always reflects the true count)
+        if requested % per_call:
+            requested = (requested // per_call + 1) * per_call
+            if log_fn:
+                log_fn({"note": f"rounded to {requested} steps (chunks of {per_call})"})
+        target = self.step + requested
         while self.step < target:
             self.rng, k = jax.random.split(self.rng)
             self.params, self.opt_state, aux = self._step_fn(

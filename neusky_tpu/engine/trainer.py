@@ -214,3 +214,5 @@ class Trainer:
         self.params, self.opt_state, self.step = load_checkpoint(
             Path(path), step, self.params, self.opt_state
         )
+        if hasattr(self.datamanager, "reseed"):
+            self.datamanager.reseed(self.step)  # no batch-stream replay

@@ -555,17 +555,15 @@ def _level_encode_stoch_fwd(enc, lvl, t2, xt, salt):
 
 
 def _level_encode_stoch_bwd(enc, lvl, res, g):
+    from neusky_tpu.ops.hashgrid_pallas import _sample_corner
+
     t2, xt, salt = res
     idx, W, dW = enc._level_iw(xt, lvl, need_dw=True)
     n = xt.shape[1]
     u = _cheap_hash_u(n, lvl, salt)
-    w = W.astype(g.dtype)
-    wsum = jnp.sum(w, axis=0)  # [N] (≈1 trilinear)
-    cdf = jnp.cumsum(w, axis=0)
-    c = jnp.clip(
-        jnp.sum((cdf < (u * wsum)[None, :]).astype(jnp.int32), axis=0), 0, 7
-    )
-    rows = jnp.take_along_axis(idx, c[None, :], axis=0)[0]  # [N]
+    # single categorical-corner draw — SHARED helper (the vectorized path's
+    # bit-match parity tests depend on all copies staying identical)
+    rows, wsum = _sample_corner(idx, W.astype(g.dtype), u)
     d = _scatter_ft(rows, g * wsum[None, :], t2.shape[1])
     # exact position cotangent (identical to _level_encode_bwd)
     feats = jnp.take(t2, idx, axis=1)

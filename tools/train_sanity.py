@@ -126,6 +126,7 @@ def main():
             params, opt_state, start = load_checkpoint(
                 args.ckpt_dir, None, params, opt_state
             )
+            dm.reseed(start)  # fresh batch stream, not a replay of 0..N
             print(json.dumps({"resumed_from": start}), flush=True)
 
     rng = jax.random.fold_in(jax.random.PRNGKey(1), start)
