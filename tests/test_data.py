@@ -253,6 +253,30 @@ def test_nerfosr_parser(tmp_path):
     assert out["width_height"] == [16, 12]
 
 
+def test_datamanager_reseed(scene):
+    """Resume must not replay the batch stream (r2 segmented-resume bug):
+    same seed ⇒ identical streams; after ``reseed(step)`` the stream
+    diverges but stays deterministic for that (seed, step)."""
+    def make():
+        return DataManager(
+            DataManagerConfig(
+                pixel_sampler=PixelSamplerConfig(images_per_batch=2, rays_per_image=8),
+            ),
+            scene["cameras"], scene["images"], scene["masks"],
+        )
+
+    a, b = make(), make()
+    np.testing.assert_array_equal(
+        a.next_train(0)["pixel_coords"], b.next_train(0)["pixel_coords"]
+    )
+    c, d = make(), make()
+    c.reseed(5000)
+    d.reseed(5000)
+    ca = c.next_train(5000)["pixel_coords"]
+    assert not np.array_equal(ca, make().next_train(0)["pixel_coords"])
+    np.testing.assert_array_equal(ca, d.next_train(5000)["pixel_coords"])
+
+
 def test_datamanager_native_sampler(scene):
     """use_native_sampler=True must produce batches with the same layout,
     dtypes, and mask semantics as the numpy path (and train end-to-end the
