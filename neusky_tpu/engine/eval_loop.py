@@ -172,6 +172,95 @@ def fit_eval_latents(
     return params, [float(x) for x in np.asarray(losses)]
 
 
+def fit_eval_rotation(
+    model: NeuSkyModel,
+    params,
+    protocol,
+    rng: jax.Array,
+    gt_latents: jnp.ndarray,  # [S, latent_dim, 3] fitted to the GT envmaps
+    steps: int = 250,
+    lr: float = 1e-1,
+    lr_final: float = 1e-7,
+):
+    """``nerf_osr_envmap`` eval mode (``neusky_model.py:1509,1553-1568``):
+    eval latents are FIXED — fitted beforehand to the sessions' GT envmaps
+    (``RENITrainer.fit_heldout_latents`` on the equirect captures) — and
+    only a per-session z-rotation (sigmoid-bounded to [0, 2π)) plus the
+    eval scale are optimised, on COMPARE-set pixel batches.
+
+    Returns (params with fitted eval scale+latents, gamma [S] radians,
+    losses).  The whole Adam loop runs as one jitted ``lax.scan`` over
+    pre-sampled batches (same pattern as ``fit_eval_latents``)."""
+    import optax
+
+    from neusky_tpu.engine.optimizers import exponential_decay_schedule
+    from neusky_tpu.models.pipeline import eval_latent_loss_fn
+
+    s = gt_latents.shape[0]
+    q0 = {
+        "rot_logit": jnp.zeros((s,)),
+        "scale": jnp.ones((s,)),
+    }
+    sched = exponential_decay_schedule(lr, lr_final, steps)
+    optimizer = optax.chain(
+        optax.scale_by_adam(eps=1e-15), optax.scale_by_schedule(sched),
+        optax.scale(-1.0),
+    )
+    opt_state = optimizer.init(q0)
+
+    batches = [protocol.lighting_eval_batch("compare") for _ in range(steps)]
+    const_keys = {"cameras"}
+    stacked = {
+        k: np.stack([np.asarray(b[k]) for b in batches])
+        for k in batches[0]
+        if k not in const_keys
+    }
+    const = {k: batches[0][k] for k in const_keys if k in batches[0]}
+    base_eval = dict(params["eval_latents"])
+    base_eval["eval_latents"] = gt_latents
+
+    def run(q, opt_state, params, stacked, const, rng):
+        def body(carry, xs):
+            q, o = carry
+            i, bstep = xs
+            k = jax.random.fold_in(rng, i)
+            batch = {**bstep, **const}
+
+            def loss(q):
+                gamma = jax.nn.sigmoid(q["rot_logit"]) * 2.0 * jnp.pi  # [S]
+                cg, sg = jnp.cos(gamma), jnp.sin(gamma)
+                zeros = jnp.zeros_like(gamma)
+                ones = jnp.ones_like(gamma)
+                rot = jnp.stack(
+                    [cg, -sg, zeros, sg, cg, zeros, zeros, zeros, ones], -1
+                ).reshape(s, 3, 3)[batch["image_indices"]]  # [U, 3, 3]
+                p2 = {
+                    **params,
+                    "eval_latents": {**base_eval, "eval_scale": q["scale"]},
+                }
+                return eval_latent_loss_fn(
+                    model, p2, k, batch, jnp.asarray(i, jnp.float32),
+                    rotation=rot,
+                )
+
+            total, grads = jax.value_and_grad(loss)(q)
+            updates, o = optimizer.update(grads, o, q)
+            return (jax.tree_util.tree_map(lambda a, u: a + u, q, updates), o), total
+
+        (q, opt_state), losses = jax.lax.scan(
+            body, (q, opt_state), (jnp.arange(steps), stacked)
+        )
+        return q, losses
+
+    q, losses = jax.jit(run)(q0, opt_state, params, stacked, const, rng)
+    gamma = np.asarray(jax.nn.sigmoid(q["rot_logit"]) * 2.0 * np.pi)
+    out_params = {
+        **params,
+        "eval_latents": {**base_eval, "eval_scale": q["scale"]},
+    }
+    return out_params, gamma, [float(x) for x in np.asarray(losses)]
+
+
 def eval_image_metrics(
     model: NeuSkyModel,
     params,

@@ -67,3 +67,53 @@ def test_protocol_end_to_end(fixture_dir, tmp_path):
     # the latent fit actually optimised something
     assert np.isfinite(result["fit_loss_last"])
     assert result["fit_loss_last"] <= result["fit_loss_first"] * 1.5
+
+
+def test_fit_eval_rotation(fixture_dir):
+    """``nerf_osr_envmap`` mode (``neusky_model.py:1509,1553-1568``):
+    GT-envmap latents fixed, per-session z-rotation + scale fit on compare
+    batches — loss finite+improving, gamma within [0, 2π)."""
+    from neusky_tpu.configs.tiny_config import tiny_model_config
+    from neusky_tpu.data.dataparsers.nerfosr import (
+        NeRFOSRDataparserConfig,
+        parse_nerfosr_scene,
+    )
+    from neusky_tpu.data.dataset import NeuSkyDataset
+    from neusky_tpu.data.nerfosr_eval import NeRFOSREvalProtocol
+    from neusky_tpu.data.pixel_sampler import PixelSamplerConfig
+    from neusky_tpu.engine.eval_loop import fit_eval_rotation
+    from neusky_tpu.models.neusky import NeuSkyModel
+
+    cfg = NeRFOSRDataparserConfig(data=str(fixture_dir), scene="site1")
+    po = parse_nerfosr_scene(cfg, "test")
+    data = NeuSkyDataset(po, "test").load()
+    protocol = NeRFOSREvalProtocol(
+        cameras=data["cameras"], images=data["images"], masks=data["masks"],
+        session_to_indices=po["session_to_indices"],
+        indices_to_session=po["indices_to_session"],
+        session_holdout_indices=list(po["session_holdout_indices"]),
+        test_eval_mask_indices=sorted(po["test_eval_mask_dict"].keys()),
+        pixel_config=PixelSamplerConfig(images_per_batch=2, rays_per_image=8),
+    )
+    model_cfg = tiny_model_config(num_train_data=4, num_eval_data=2)
+    model = NeuSkyModel(model_cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    # stand-in for RENITrainer.fit_heldout_latents on the GT envmaps
+    gt_latents = (
+        jax.random.normal(
+            jax.random.PRNGKey(1),
+            (2, model_cfg.illumination.latent_dim, 3),
+        )
+        * 0.1
+    )
+    out_params, gamma, losses = fit_eval_rotation(
+        model, params, protocol, jax.random.PRNGKey(2), gt_latents, steps=6
+    )
+    assert gamma.shape == (2,)
+    assert (gamma >= 0).all() and (gamma < 2 * np.pi).all()
+    assert np.isfinite(losses).all()
+    assert losses[-1] <= losses[0] * 1.5
+    np.testing.assert_array_equal(
+        np.asarray(out_params["eval_latents"]["eval_latents"]),
+        np.asarray(gt_latents),
+    )
