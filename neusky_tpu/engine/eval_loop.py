@@ -95,6 +95,7 @@ def fit_eval_latents(
     sample_region: str = "full_image",
     host_loop: bool = False,
     batch_fn=None,
+    scale_only: bool = False,
 ):
     """Test-time latent optimisation: resets eval latents to zero / scales
     to one, then ``steps`` Adam updates on the sky+RGB losses with the
@@ -117,7 +118,7 @@ def fit_eval_latents(
     eval_g["eval_scale"] = jnp.ones_like(eval_g["eval_scale"])
     params = {**params, "eval_latents": eval_g}
 
-    optimizer = build_eval_latent_optimizer(lr, lr_final, steps)
+    optimizer = build_eval_latent_optimizer(lr, lr_final, steps, scale_only=scale_only)
     opt_state = optimizer.init(params)
 
     if host_loop:
@@ -355,21 +356,29 @@ def run_nerfosr_protocol(
     fit_steps: int = 250,
     chunk_size: int = 4096,
     least_squares_scale: bool = False,
+    optimise_compare_eval_scale: bool = False,
 ) -> Dict[str, Any]:
     """The full NeRF-OSR relighting benchmark
     (``get_average_eval_image_metrics``, ``neusky_pipeline.py:392-444``):
 
       1. fit eval latents (one slot per lighting session) on the
-         session-holdout optimise pool;
+         session-holdout optimise pool — or, with
+         ``optimise_compare_eval_scale`` (``neusky_model.py:1511-1514,
+         1549-1552``), fit ONLY ``eval_scale`` on the COMPARE pool
+         (reference-exact, including its quirk that the latents stay at
+         their reset zeros);
       2. render every compare image with its session's fitted latent;
       3. metrics restricted to the NeRF-OSR building mask (channel 0 of the
          test-split mask), optional global least-squares scale
-         (``neusky_pipeline.py:330-331``).
+         (``least_squares_global_scale``, ``neusky_pipeline.py:93,330-331``
+         — a separate knob from the scale fit).
     """
     rng, k_fit = jax.random.split(rng)
+    fit_pool = "compare" if optimise_compare_eval_scale else "optimise"
     params, fit_losses = fit_eval_latents(
         model, params, None, k_fit, steps=fit_steps,
-        batch_fn=lambda: protocol.lighting_eval_batch("optimise"),
+        batch_fn=lambda: protocol.lighting_eval_batch(fit_pool),
+        scale_only=optimise_compare_eval_scale,
     )
 
     chunk_fn, chunk_size = make_render_chunk_fn(model, chunk_size)
@@ -475,9 +484,13 @@ def run_nerfosr_eval(args, overrides):
         Path(args.load_dir), None, params, exclude=("eval_latents",)
     )
 
+    pipe_cfg = bundle.get("pipeline_config")
     result = run_nerfosr_protocol(
         model, params, protocol, jax.random.PRNGKey(1),
-        least_squares_scale=model_config.optimise_compare_eval_scale,
+        least_squares_scale=bool(
+            getattr(pipe_cfg, "least_squares_global_scale", False)
+        ),
+        optimise_compare_eval_scale=model_config.optimise_compare_eval_scale,
     )
     # --output is shared across subcommands with the RENDER default
     # ("render.npy"); treat that default as unset here

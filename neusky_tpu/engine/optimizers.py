@@ -152,22 +152,32 @@ def build_optimizer(
 
 
 def build_eval_latent_optimizer(
-    lr: float = 1e-1, lr_final: float = 1e-7, max_steps: int = 250, eps: float = 1e-15
+    lr: float = 1e-1, lr_final: float = 1e-7, max_steps: int = 250,
+    eps: float = 1e-15, scale_only: bool = False,
 ) -> optax.GradientTransformation:
     """Adam + exponential decay for test-time latent fitting
     (``configs/neusky_config.py:142-147``), masked to the ``eval_latents``
-    group only."""
+    group only.  ``scale_only=True`` freezes the latent codes too and fits
+    just ``eval_scale`` (``optimise_compare_eval_scale``,
+    ``neusky_model.py:1511-1514``)."""
     sched = exponential_decay_schedule(lr, lr_final, max_steps)
     inner = optax.chain(
         optax.scale_by_adam(eps=eps), optax.scale_by_schedule(sched), optax.scale(-1.0)
     )
     def label_fn(params):
-        return {
-            k: jax.tree_util.tree_map(
-                lambda _: "eval" if k == "eval_latents" else "frozen", v
-            )
-            for k, v in params.items()
-        }
+        def group(k, v):
+            if k != "eval_latents":
+                return jax.tree_util.tree_map(lambda _: "frozen", v)
+            if not scale_only:
+                return jax.tree_util.tree_map(lambda _: "eval", v)
+            return {
+                kk: jax.tree_util.tree_map(
+                    lambda _: "eval" if kk == "eval_scale" else "frozen", vv
+                )
+                for kk, vv in v.items()
+            }
+
+        return {k: group(k, v) for k, v in params.items()}
 
     return optax.multi_transform(
         {"eval": inner, "frozen": optax.set_to_zero()}, label_fn

@@ -33,6 +33,10 @@ class PipelineConfig:
     """``NeuSkyPipelineConfig`` equivalents (``neusky_pipeline.py:61-96``)."""
 
     stop_sdf_gradients: bool = False
+    least_squares_global_scale: bool = False
+    """Optimal global scale fitted per compare image before metrics
+    (``neusky_pipeline.py:93,330-331``) — distinct from the model's
+    ``optimise_compare_eval_scale`` (gradient fit of ``eval_scale``)."""
     visibility_accumulation_mask_threshold: float = 0.0
     visibility_train_sampler: DDFSamplerConfig = DDFSamplerConfig(
         num_samples_on_sphere=8, num_rays_per_sample=128,

@@ -58,6 +58,29 @@ def test_checkpoint_subtree_restore(tmp_path):
     assert np.allclose(out2["ddf_field"]["w"], 0.0)
 
 
+def test_eval_latent_optimizer_scale_only():
+    """``optimise_compare_eval_scale`` (``neusky_model.py:1511-1514``):
+    scale_only masks latent updates to zero, scale still moves."""
+    from neusky_tpu.engine.optimizers import build_eval_latent_optimizer
+
+    params = {
+        "eval_latents": {
+            "eval_latents": jnp.ones((2, 4, 3)),
+            "eval_scale": jnp.ones((2,)),
+        },
+        "fields": {"w": jnp.ones((3,))},
+    }
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    for scale_only in (False, True):
+        opt = build_eval_latent_optimizer(scale_only=scale_only)
+        state = opt.init(params)
+        updates, _ = opt.update(grads, state, params)
+        assert np.allclose(updates["fields"]["w"], 0.0)
+        assert not np.allclose(updates["eval_latents"]["eval_scale"], 0.0)
+        moved = not np.allclose(updates["eval_latents"]["eval_latents"], 0.0)
+        assert moved == (not scale_only)
+
+
 def test_load_illumination_prior(tmp_path):
     """Regression (r2): every training entry point must restore the trained
     frozen decoder — train_sanity/bench once skipped it and trained against
