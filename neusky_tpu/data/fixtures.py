@@ -99,8 +99,17 @@ def make_nerfosr_fixture(
     scene_dir = root / "lk2" / "final"
     rng = np.random.default_rng(seed)
     sessions = [f"session_{chr(65 + s)}" for s in range(num_sessions)]
-    for s in sessions:
-        (scene_dir / "ENV_MAP_CC" / s).mkdir(parents=True, exist_ok=True)
+    for s_i, s in enumerate(sessions):
+        d = scene_dir / "ENV_MAP_CC" / s
+        d.mkdir(parents=True, exist_ok=True)
+        # GT envmap capture: equirect sky gradient in the session tint
+        # (drives the nerf_osr_envmap eval mode)
+        tint = _SESSION_TINTS[s_i % len(_SESSION_TINTS)]
+        ew, eh = 64, 32
+        ys = np.linspace(0.0, 1.0, eh)[:, None, None]
+        env = np.clip(tint[None, None, :] * (1.0 - 0.7 * ys), 0, 1)
+        env = np.broadcast_to(env, (eh, ew, 3))
+        Image.fromarray((env * 255).astype(np.uint8)).save(d / "envmap.png")
 
     fl = width * 1.2
     for split, per_session in (

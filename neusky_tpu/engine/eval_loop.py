@@ -357,6 +357,7 @@ def run_nerfosr_protocol(
     chunk_size: int = 4096,
     least_squares_scale: bool = False,
     optimise_compare_eval_scale: bool = False,
+    gt_envmaps=None,  # [S, H, W, 3] linear HDR per session → envmap mode
 ) -> Dict[str, Any]:
     """The full NeRF-OSR relighting benchmark
     (``get_average_eval_image_metrics``, ``neusky_pipeline.py:392-444``):
@@ -374,12 +375,32 @@ def run_nerfosr_protocol(
          — a separate knob from the scale fit).
     """
     rng, k_fit = jax.random.split(rng)
-    fit_pool = "compare" if optimise_compare_eval_scale else "optimise"
-    params, fit_losses = fit_eval_latents(
-        model, params, None, k_fit, steps=fit_steps,
-        batch_fn=lambda: protocol.lighting_eval_batch(fit_pool),
-        scale_only=optimise_compare_eval_scale,
-    )
+    if gt_envmaps is not None:
+        # nerf_osr_envmap mode: latents from the sessions' GT envmaps
+        # (frozen-decoder fit), then per-session z-rotation + scale on
+        # compare batches (``neusky_model.py:1509,1553-1568``)
+        from neusky_tpu.engine.reni_trainer import fit_latents_to_envmaps
+
+        gt_latents, envmap_psnr = fit_latents_to_envmaps(
+            model.illumination, params["illumination_decoder"],
+            np.asarray(gt_envmaps), steps=fit_steps,
+        )
+        params, gamma, fit_losses = fit_eval_rotation(
+            model, params, protocol, k_fit, jnp.asarray(gt_latents),
+            steps=fit_steps,
+        )
+        envmap_info = {
+            "envmap_fit_psnr": [float(x) for x in envmap_psnr],
+            "session_rotation_rad": [float(g) for g in gamma],
+        }
+    else:
+        envmap_info = None
+        fit_pool = "compare" if optimise_compare_eval_scale else "optimise"
+        params, fit_losses = fit_eval_latents(
+            model, params, None, k_fit, steps=fit_steps,
+            batch_fn=lambda: protocol.lighting_eval_batch(fit_pool),
+            scale_only=optimise_compare_eval_scale,
+        )
 
     chunk_fn, chunk_size = make_render_chunk_fn(model, chunk_size)
     h, w = protocol.cameras.height, protocol.cameras.width
@@ -426,11 +447,41 @@ def run_nerfosr_protocol(
         "fit_loss_last": fit_losses[-1],
         "num_sessions": protocol.num_sessions,
     }
+    if envmap_info is not None:
+        out.update(envmap_info)
     if "lpips" in keys:
         # random-VGG LPIPS is a valid distance but NOT comparable to
         # published pretrained numbers — always label the flavour
         out["lpips_flavour"] = M.lpips_flavour()
     return out
+
+
+def _load_session_envmaps(po: Dict[str, Any], width: int = 128) -> np.ndarray:
+    """One GT envmap per lighting session → [S, width/2, width, 3] linear
+    HDR (sRGB LDR captures are linearised; ``ENV_MAP_CC/<session>/``
+    equirect layout, ``nerfosr_cityscapes_dataparser.py:313-334``)."""
+    import os
+
+    from PIL import Image
+
+    from neusky_tpu.core.colour import sRGB_to_linear
+
+    files = po.get("envmap_filenames") or []
+    if not files:
+        raise SystemExit(
+            "eval_latent_optimise_method=nerf_osr_envmap needs envmap images "
+            "under ENV_MAP_CC/<session>/"
+        )
+    sessions = sorted({os.path.basename(os.path.dirname(f)) for f in files})
+    out = []
+    for s in sessions:
+        f = next(x for x in files if os.path.basename(os.path.dirname(x)) == s)
+        img = Image.open(f).convert("RGB").resize(
+            (width, width // 2), Image.BILINEAR
+        )
+        ldr = np.asarray(img, np.float32) / 255.0
+        out.append(np.asarray(sRGB_to_linear(jnp.asarray(ldr))))
+    return np.stack(out)
 
 
 def run_nerfosr_eval(args, overrides):
@@ -484,6 +535,10 @@ def run_nerfosr_eval(args, overrides):
         Path(args.load_dir), None, params, exclude=("eval_latents",)
     )
 
+    gt_envmaps = None
+    if model_config.eval_latent_optimise_method == "nerf_osr_envmap":
+        gt_envmaps = _load_session_envmaps(test_po, width=128)
+
     pipe_cfg = bundle.get("pipeline_config")
     result = run_nerfosr_protocol(
         model, params, protocol, jax.random.PRNGKey(1),
@@ -491,6 +546,7 @@ def run_nerfosr_eval(args, overrides):
             getattr(pipe_cfg, "least_squares_global_scale", False)
         ),
         optimise_compare_eval_scale=model_config.optimise_compare_eval_scale,
+        gt_envmaps=gt_envmaps,
     )
     # --output is shared across subcommands with the RENDER default
     # ("render.npy"); treat that default as unset here

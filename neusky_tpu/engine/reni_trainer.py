@@ -178,68 +178,12 @@ class RENITrainer:
     ):
         """Test-time latent fitting on held-out skies with the decoder
         FROZEN — the generalisation gate for the prior (mirrors how NeuSky
-        consumes the decoder).  Returns (latents [B, D, 3], psnr [B]).
-
-        Skies are fitted in host-level chunks of ``sky_chunk``: each sky's
-        latent only touches its own pixels, so fitting per-chunk is exact
-        (Adam's per-parameter normalisation cancels the 1/B grad scaling).
-        Chunking bounds the [C, P, latent_dim, hidden] attention temps —
-        in-graph batching over all B (vmap, lax.map, or lax.map+remat) was
-        observed to allocate the full [B, ...] temp regardless (3.1 GB at
-        B=32, OOM-killing the TPU worker)."""
-        b, h, w, _ = envmaps.shape
-        dirs = self._dirs_dev
-        assert dirs.shape[0] == h * w, "held-out resolution must match corpus"
-        field = self.field
-        decoder = jax.tree_util.tree_map(
-            jax.lax.stop_gradient, self.params["decoder"]
+        consumes the decoder).  Returns (latents [B, D, 3], psnr [B])."""
+        return fit_latents_to_envmaps(
+            self.field, self.params["decoder"], envmaps,
+            steps=steps, lr=lr, pixels_per_step=pixels_per_step,
+            seed=seed, sky_chunk=sky_chunk,
         )
-        n_pix = h * w
-        opt = optax.adam(lr)
-        c = min(sky_chunk, b)
-
-        @jax.jit
-        def run(z, rng, targets):
-            state = opt.init(z)
-
-            def body(carry, k):
-                z, state = carry
-                pix = jax.random.randint(k, (pixels_per_step,), 0, n_pix)
-
-                def loss(z):
-                    d = dirs[pix]  # [P, 3]
-                    gt = field.normalise(targets[:, pix])  # [C, P, 3]
-                    pred = jax.vmap(
-                        lambda zz: field.apply(decoder, d, zz)["rgb"]
-                    )(z)
-                    return jnp.mean((pred - gt) ** 2)
-
-                g = jax.grad(loss)(z)
-                updates, state = opt.update(g, state, z)
-                return (z + updates, state), None
-
-            (z, _), _ = jax.lax.scan(body, (z, state), jax.random.split(rng, steps))
-            pred = jax.vmap(
-                lambda zz: field.apply(decoder, dirs, zz)["rgb"]
-            )(z)
-            gt = field.normalise(targets)
-            mse = jnp.mean((pred - gt) ** 2, axis=(1, 2))
-            return z, 10.0 * jnp.log10(4.0 / jnp.maximum(mse, 1e-12))
-
-        flat = envmaps.reshape(b, h * w, 3)
-        zs, psnrs = [], []
-        for lo in range(0, b, c):
-            chunk = flat[lo : lo + c]
-            pad = c - chunk.shape[0]
-            if pad:
-                chunk = np.concatenate([chunk, chunk[-1:].repeat(pad, 0)], 0)
-            z0 = jnp.zeros((c, self.config.field.latent_dim, 3))
-            z, psnr = run(
-                z0, jax.random.PRNGKey(seed + lo), jnp.asarray(chunk)
-            )
-            zs.append(np.asarray(z)[: c - pad if pad else c])
-            psnrs.append(np.asarray(psnr)[: c - pad if pad else c])
-        return np.concatenate(zs, 0), np.concatenate(psnrs, 0)
 
     def decode_envmap(self, latent: jnp.ndarray, width: int = 128) -> np.ndarray:
         """Latent → HDR envmap [H, W, 3] (BASELINE config[0]:
@@ -249,6 +193,80 @@ class RENITrainer:
         out = self.field.apply(self.params["decoder"], d, latent)
         hdr = self.field.unnormalise(out["rgb"])
         return np.asarray(hdr).reshape(sampler.height, width, 3)
+
+
+def fit_latents_to_envmaps(
+    field: RENIField,
+    decoder_params,
+    envmaps: np.ndarray,  # [B, H, W, 3] linear HDR (H == W/2 equirect)
+    steps: int = 400,
+    lr: float = 1e-1,
+    pixels_per_step: int = 2048,
+    seed: int = 1,
+    sky_chunk: int = 4,
+):
+    """Fit per-image latents to envmaps with the decoder FROZEN — exactly
+    how NeuSky consumes the prior, and the latent source for the
+    ``nerf_osr_envmap`` eval mode ("latents come from GT envmaps",
+    ``neusky_model.py:1509``).  Returns (latents [B, D, 3], psnr [B]).
+
+    Skies are fitted in host-level chunks of ``sky_chunk``: each sky's
+    latent only touches its own pixels, so fitting per-chunk is exact
+    (Adam's per-parameter normalisation cancels the 1/B grad scaling).
+    Chunking bounds the [C, P, latent_dim, hidden] attention temps —
+    in-graph batching over all B (vmap, lax.map, or lax.map+remat) was
+    observed to allocate the full [B, ...] temp regardless (3.1 GB at
+    B=32, OOM-killing the TPU worker)."""
+    b, h, w, _ = envmaps.shape
+    sampler = EquirectangularSampler(width=w)
+    assert sampler.height == h, "equirect envmaps must be H == W/2"
+    dirs = jax.device_put(jnp.asarray(np.asarray(sampler()).reshape(h * w, 3)))
+    decoder = jax.tree_util.tree_map(jax.lax.stop_gradient, decoder_params)
+    latent_dim = field.config.latent_dim
+    n_pix = h * w
+    opt = optax.adam(lr)
+    c = min(sky_chunk, b)
+
+    @jax.jit
+    def run(z, rng, targets):
+        state = opt.init(z)
+
+        def body(carry, k):
+            z, state = carry
+            pix = jax.random.randint(k, (pixels_per_step,), 0, n_pix)
+
+            def loss(z):
+                d = dirs[pix]  # [P, 3]
+                gt = field.normalise(targets[:, pix])  # [C, P, 3]
+                pred = jax.vmap(
+                    lambda zz: field.apply(decoder, d, zz)["rgb"]
+                )(z)
+                return jnp.mean((pred - gt) ** 2)
+
+            g = jax.grad(loss)(z)
+            updates, state = opt.update(g, state, z)
+            return (z + updates, state), None
+
+        (z, _), _ = jax.lax.scan(body, (z, state), jax.random.split(rng, steps))
+        pred = jax.vmap(
+            lambda zz: field.apply(decoder, dirs, zz)["rgb"]
+        )(z)
+        gt = field.normalise(targets)
+        mse = jnp.mean((pred - gt) ** 2, axis=(1, 2))
+        return z, 10.0 * jnp.log10(4.0 / jnp.maximum(mse, 1e-12))
+
+    flat = envmaps.reshape(b, h * w, 3)
+    zs, psnrs = [], []
+    for lo in range(0, b, c):
+        chunk = flat[lo : lo + c]
+        pad = c - chunk.shape[0]
+        if pad:
+            chunk = np.concatenate([chunk, chunk[-1:].repeat(pad, 0)], 0)
+        z0 = jnp.zeros((c, latent_dim, 3))
+        z, psnr = run(z0, jax.random.PRNGKey(seed + lo), jnp.asarray(chunk))
+        zs.append(np.asarray(z)[: c - pad if pad else c])
+        psnrs.append(np.asarray(psnr)[: c - pad if pad else c])
+    return np.concatenate(zs, 0), np.concatenate(psnrs, 0)
 
 
 # torch→jax checkpoint conversion lives in engine/reni_convert.py

@@ -69,6 +69,35 @@ def test_protocol_end_to_end(fixture_dir, tmp_path):
     assert result["fit_loss_last"] <= result["fit_loss_first"] * 1.5
 
 
+def test_protocol_envmap_mode(fixture_dir, tmp_path):
+    """Full nerf_osr_envmap protocol through the CLI: GT envmap → frozen
+    latent fit → per-session rotation/scale → compare metrics."""
+    from neusky_tpu.cli import main
+
+    out_dir = tmp_path / "run"
+    main([
+        "train", "neusky-tiny",
+        "--data", str(fixture_dir), "--scene", "site1",
+        "--max-iterations", "2", "--rays-per-batch", "32",
+        "--output-dir", str(out_dir),
+    ])
+    metrics_path = tmp_path / "envmap_metrics.json"
+    main([
+        "eval", "neusky-tiny",
+        "--data", str(fixture_dir), "--scene", "site1",
+        "--load-dir", str(out_dir),
+        "--protocol", "nerfosr",
+        "--output", str(metrics_path),
+        "--model.eval_latent_optimise_method", "nerf_osr_envmap",
+    ])
+    result = json.loads(metrics_path.read_text())
+    assert len(result["envmap_fit_psnr"]) == 2
+    assert all(np.isfinite(p) for p in result["envmap_fit_psnr"])
+    assert len(result["session_rotation_rad"]) == 2
+    assert all(0 <= g < 2 * np.pi for g in result["session_rotation_rad"])
+    assert np.isfinite(result["mean"]["psnr"])
+
+
 def test_fit_eval_rotation(fixture_dir):
     """``nerf_osr_envmap`` mode (``neusky_model.py:1509,1553-1568``):
     GT-envmap latents fixed, per-session z-rotation + scale fit on compare
