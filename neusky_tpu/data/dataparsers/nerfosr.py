@@ -177,6 +177,7 @@ def parse_nerfosr_scene(config: NeRFOSRDataparserConfig, split: str = "train") -
     # session maps (``:336-364``)
     session_to_indices = None
     indices_to_session = None
+    session_names = None
     if scene not in _NO_SESSION_SCENES:
         sessions = [
             os.path.basename(x) for x in sorted(glob.glob(f"{scene_dir}/ENV_MAP_CC/*"))
@@ -186,7 +187,11 @@ def parse_nerfosr_scene(config: NeRFOSRDataparserConfig, split: str = "train") -
             for session in sessions:
                 if session in filename:
                     s2i[session].append(idx)
-        session_to_indices = {i: s2i[k] for i, k in enumerate(s2i.keys())}
+        # latent-slot order = SORTED session-dir order (not image insertion
+        # order) so slot s always matches ``session_names[s]`` — the envmap
+        # eval mode aligns GT envmaps to slots through this list
+        session_names = [s for s in sessions if s in s2i]
+        session_to_indices = {i: s2i[k] for i, k in enumerate(session_names)}
         indices_to_session = {}
         for s_idx, idxs in session_to_indices.items():
             for idx in idxs:
@@ -253,6 +258,7 @@ def parse_nerfosr_scene(config: NeRFOSRDataparserConfig, split: str = "train") -
         "scene_aabb": np.array([[-aabb] * 3, [aabb] * 3], np.float32),
         "session_to_indices": session_to_indices,
         "indices_to_session": indices_to_session,
+        "session_names": session_names,
         "session_holdout_indices": list(config.session_holdout_indices),
         "test_eval_mask_dict": test_eval_mask_dict,
         "out_of_view_frustum_objects_masks": object_masks,

@@ -472,7 +472,10 @@ def _load_session_envmaps(po: Dict[str, Any], width: int = 128) -> np.ndarray:
             "eval_latent_optimise_method=nerf_osr_envmap needs envmap images "
             "under ENV_MAP_CC/<session>/"
         )
-    sessions = sorted({os.path.basename(os.path.dirname(f)) for f in files})
+    # slot order comes FROM THE PARSER (session_names[s] ↔ latent slot s)
+    sessions = po.get("session_names") or sorted(
+        {os.path.basename(os.path.dirname(f)) for f in files}
+    )
     out = []
     for s in sessions:
         f = next(x for x in files if os.path.basename(os.path.dirname(x)) == s)
