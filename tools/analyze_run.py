@@ -54,6 +54,29 @@ def summarise(path):
     )
 
 
+def compare(paths):
+    """Side-by-side A/B at shared milestone steps (e.g. DDF hash vs nerf,
+    VERDICT r1 task 7)."""
+    runs = []
+    for p in paths:
+        by_step, recs = load(p)
+        runs.append((recs[0].get("ddf_encoding", p) if recs else p, by_step))
+    steps = sorted(set.intersection(*(set(b) for _, b in runs)) & set(MILESTONES))
+    if not steps:
+        return
+    print("\n### A/B comparison (shared milestones)")
+    hdr = " | ".join(f"{n} psnr / ddf-psnr" for n, _ in runs)
+    print(f"| step | {hdr} |")
+    print("|" + "---|" * (len(runs) + 1))
+    for s in steps:
+        cells = " | ".join(
+            f"{b[s]['psnr']:.2f} / {b[s]['ddf_depth_psnr']:.2f}" for _, b in runs
+        )
+        print(f"| {s} | {cells} |")
+
+
 if __name__ == "__main__":
     for p in sys.argv[1:]:
         summarise(p)
+    if len(sys.argv) > 2:
+        compare(sys.argv[1:])
