@@ -87,7 +87,9 @@ def main():
 
         from neusky_tpu.ops.hashgrid import HashGridConfig
 
-        vec = os.environ["NEUSKY_VECTORIZED"] not in ("0", "false")
+        vec = os.environ["NEUSKY_VECTORIZED"].strip().lower() not in (
+            "0", "false", "off", "no",
+        )
 
         def _setvec(node):
             if isinstance(node, HashGridConfig):

@@ -69,21 +69,10 @@ class DataManager:
 
         self._native = None
         if config.use_native_sampler:
-            from neusky_tpu.data.native_sampler import (
-                NativeBatchSampler,
-                native_available,
-            )
+            from neusky_tpu.data.native_sampler import native_available
 
             if native_available():
-                ps = config.pixel_sampler
-                u = min(ps.images_per_batch, self.num_train)
-                self._native = NativeBatchSampler(
-                    train_images, train_masks, seed=config.seed
-                )
-                self._native.start_prefetch(
-                    u, ps.rays_per_image, config.native_queue_depth
-                )
-                self._native_u = u
+                self._start_native(config.seed)
 
     @property
     def num_train(self) -> int:
@@ -93,15 +82,35 @@ class DataManager:
     def num_eval(self) -> int:
         return self.eval_sampler.num_images if self.eval_sampler else 0
 
+    def _start_native(self, seed: int) -> None:
+        from neusky_tpu.data.native_sampler import NativeBatchSampler
+
+        ps = self.config.pixel_sampler
+        u = min(ps.images_per_batch, self.num_train)
+        self._native = NativeBatchSampler(
+            self.train_images, self.train_masks, seed=seed
+        )
+        self._native.start_prefetch(
+            u, ps.rays_per_image, self.config.native_queue_depth
+        )
+        self._native_u = u
+
     def reseed(self, step: int) -> None:
         """Advance the host sampling stream to a resume step: a resumed run
         must NOT replay the batch sequence from position 0 (the stateful
-        numpy Generator restarts identically otherwise — found in the r2
+        generators restart identically otherwise — found in the r2
         segmented-resume review).  Folding the step into the seed gives a
-        distinct, deterministic stream per resume point."""
+        distinct, deterministic stream per resume point.  Covers BOTH the
+        numpy sampler and the C++ prefetcher (which is rebuilt)."""
         self.train_sampler.rng = np.random.default_rng(
             (self.config.seed, step)
         )
+        if self._native is not None:
+            # derive a 32-bit seed for the C++ generator
+            folded = int(
+                np.random.SeedSequence([self.config.seed, step]).generate_state(1)[0]
+            )
+            self._start_native(folded)
 
     def next_train(self, step: int = 0) -> Dict:
         """Scene batch + sky-ray bundle (``next_train`` + DDF sky rays)."""

@@ -31,21 +31,23 @@ from neusky_tpu.parallel.mesh import make_eval_latent_step
 
 
 def make_render_chunk_fn(model: NeuSkyModel, chunk_size: int = 4096):
-    """Jitted fixed-size eval forward for chunked full-image renders."""
+    """Jitted fixed-size eval forward for chunked full-image renders.
+    ``rotation`` (optional [3,3]) rotates the illumination decode — the
+    envmap eval mode renders with its fitted per-session z-rotation."""
 
-    def chunk_fn(params, rng, ray_bundle, image_idx):
+    def chunk_fn(params, rng, ray_bundle, image_idx, rotation=None):
         image_indices = jnp.asarray([image_idx], jnp.int32).reshape(1)
         ray_image_idx = jnp.zeros(
             (ray_bundle.origins.shape[0],), jnp.int32
         )
         out = model.forward(
             params, rng, ray_bundle, image_indices, ray_image_idx,
-            step=jnp.asarray(0.0), train=False,
+            step=jnp.asarray(0.0), train=False, rotation=rotation,
         )
         keys = ("rgb", "albedo", "accumulation", "depth", "p2p_dist", "normal")
         return {k: out[k] for k in keys}
 
-    return jax.jit(chunk_fn), chunk_size
+    return jax.jit(chunk_fn, static_argnames=()), chunk_size
 
 
 def render_camera(
@@ -56,6 +58,7 @@ def render_camera(
     rng: jax.Array,
     chunk_fn=None,
     chunk_size: int = 4096,
+    rotation=None,
 ) -> Dict[str, np.ndarray]:
     """Chunked full-image render; returns host numpy per-output maps [N, C]."""
     if chunk_fn is None:
@@ -75,12 +78,60 @@ def render_camera(
     for i in range(num_chunks):
         cb = padded.slice(i * chunk_size, chunk_size)
         rng, k = jax.random.split(rng)
-        outs.append(chunk_fn(params, k, cb, image_idx))
+        outs.append(
+            chunk_fn(params, k, cb, image_idx)
+            if rotation is None
+            else chunk_fn(params, k, cb, image_idx, rotation)
+        )
     merged = {
         k: np.concatenate([np.asarray(o[k]) for o in outs], axis=0)[:n]
         for k in outs[0]
     }
     return merged
+
+
+def _presampled_adam_scan(optimizer, target0, opt_state, batches, rng, loss_of, aux=None):
+    """Shared machinery for test-time fits: stack pre-sampled host batches
+    on a leading axis and run the whole Adam loop as ONE jitted
+    ``lax.scan`` — a single dispatch + a single device→host transfer (the
+    loss trace) instead of per-step round trips (SURVEY §7.3-6).
+
+    ``loss_of(target, aux, batch, i, key) → scalar``; ``aux`` is an
+    optional pytree of loop-invariant arrays passed as TRACED ARGUMENTS
+    (closed-over arrays re-stage through the device tunnel per call —
+    PERF.md root cause 7).  Only the ``cameras`` pytree is treated as a
+    compile-time constant batch key."""
+    const_keys = {"cameras"}
+    stacked = {
+        k: np.stack([np.asarray(b[k]) for b in batches])
+        for k in batches[0]
+        if k not in const_keys
+    }
+    const = {k: batches[0][k] for k in const_keys if k in batches[0]}
+    steps = len(batches)
+
+    def run(target, opt_state, stacked, const, rng, aux):
+        def body(carry, xs):
+            t, o = carry
+            i, bstep = xs
+            k = jax.random.fold_in(rng, i)
+            batch = {**bstep, **const}
+
+            def loss(t):
+                return loss_of(t, aux, batch, i, k)
+
+            total, grads = jax.value_and_grad(loss)(t)
+            updates, o = optimizer.update(grads, o, t)
+            t = jax.tree_util.tree_map(lambda a, u: a + u, t, updates)
+            return (t, o), total
+
+        (target, opt_state), losses = jax.lax.scan(
+            body, (target, opt_state), (jnp.arange(steps), stacked)
+        )
+        return target, losses
+
+    target, losses = jax.jit(run)(target0, opt_state, stacked, const, rng, aux)
+    return target, [float(x) for x in np.asarray(losses)]
 
 
 def fit_eval_latents(
@@ -136,41 +187,15 @@ def fit_eval_latents(
     from neusky_tpu.models.pipeline import eval_latent_loss_fn
 
     batches = [batch_fn() for _ in range(steps)]
-    # per-step leaves stacked on a new leading axis; only the cameras pytree
-    # is loop-invariant (image_indices varies: the protocol batches rotate
-    # through session latent slots)
-    const_keys = {"cameras"}
-    stacked = {
-        k: np.stack([np.asarray(b[k]) for b in batches])
-        for k in batches[0]
-        if k not in const_keys
-    }
-    const = {k: batches[0][k] for k in const_keys if k in batches[0]}
 
-    def run(params, opt_state, stacked, const, rng):
-        def body(carry, xs):
-            p, o = carry
-            i, bstep = xs
-            k = jax.random.fold_in(rng, i)
-            batch = {**bstep, **const}
-
-            def loss(q):
-                return eval_latent_loss_fn(
-                    model, q, k, batch, jnp.asarray(i, jnp.float32)
-                )
-
-            total, grads = jax.value_and_grad(loss)(p)
-            updates, o = optimizer.update(grads, o, p)
-            p = jax.tree_util.tree_map(lambda a, u: a + u, p, updates)
-            return (p, o), total
-
-        (params, opt_state), losses = jax.lax.scan(
-            body, (params, opt_state), (jnp.arange(steps), stacked)
+    def loss_of(p, _aux, batch, i, k):
+        return eval_latent_loss_fn(
+            model, p, k, batch, jnp.asarray(i, jnp.float32)
         )
-        return params, losses
 
-    params, losses = jax.jit(run)(params, opt_state, stacked, const, rng)
-    return params, [float(x) for x in np.asarray(losses)]
+    return _presampled_adam_scan(
+        optimizer, params, opt_state, batches, rng, loss_of
+    )
 
 
 def fit_eval_rotation(
@@ -198,8 +223,15 @@ def fit_eval_rotation(
     from neusky_tpu.models.pipeline import eval_latent_loss_fn
 
     s = gt_latents.shape[0]
+    # rotation logit init = the model's persistent eval_rotation parameter
+    # (ones — matching the reference's Parameter(torch.ones(...)) at
+    # ``neusky_model.py:259``; sigmoid saturates, so the start point
+    # materially shapes where 250 Adam steps land)
+    rot0 = params["eval_latents"].get("eval_rotation")
+    if rot0 is None or rot0.shape[0] != s:
+        rot0 = jnp.ones((s,))
     q0 = {
-        "rot_logit": jnp.zeros((s,)),
+        "rot_logit": jnp.asarray(rot0),
         "scale": jnp.ones((s,)),
     }
     sched = exponential_decay_schedule(lr, lr_final, steps)
@@ -210,54 +242,38 @@ def fit_eval_rotation(
     opt_state = optimizer.init(q0)
 
     batches = [protocol.lighting_eval_batch("compare") for _ in range(steps)]
-    const_keys = {"cameras"}
-    stacked = {
-        k: np.stack([np.asarray(b[k]) for b in batches])
-        for k in batches[0]
-        if k not in const_keys
-    }
-    const = {k: batches[0][k] for k in const_keys if k in batches[0]}
     base_eval = dict(params["eval_latents"])
     base_eval["eval_latents"] = gt_latents
 
-    def run(q, opt_state, params, stacked, const, rng):
-        def body(carry, xs):
-            q, o = carry
-            i, bstep = xs
-            k = jax.random.fold_in(rng, i)
-            batch = {**bstep, **const}
-
-            def loss(q):
-                gamma = jax.nn.sigmoid(q["rot_logit"]) * 2.0 * jnp.pi  # [S]
-                cg, sg = jnp.cos(gamma), jnp.sin(gamma)
-                zeros = jnp.zeros_like(gamma)
-                ones = jnp.ones_like(gamma)
-                rot = jnp.stack(
-                    [cg, -sg, zeros, sg, cg, zeros, zeros, zeros, ones], -1
-                ).reshape(s, 3, 3)[batch["image_indices"]]  # [U, 3, 3]
-                p2 = {
-                    **params,
-                    "eval_latents": {**base_eval, "eval_scale": q["scale"]},
-                }
-                return eval_latent_loss_fn(
-                    model, p2, k, batch, jnp.asarray(i, jnp.float32),
-                    rotation=rot,
-                )
-
-            total, grads = jax.value_and_grad(loss)(q)
-            updates, o = optimizer.update(grads, o, q)
-            return (jax.tree_util.tree_map(lambda a, u: a + u, q, updates), o), total
-
-        (q, opt_state), losses = jax.lax.scan(
-            body, (q, opt_state), (jnp.arange(steps), stacked)
+    def loss_of(q, aux, batch, i, k):
+        full_params, base = aux
+        gamma = jax.nn.sigmoid(q["rot_logit"]) * 2.0 * jnp.pi  # [S]
+        cg, sg = jnp.cos(gamma), jnp.sin(gamma)
+        zeros = jnp.zeros_like(gamma)
+        ones = jnp.ones_like(gamma)
+        rot = jnp.stack(
+            [cg, -sg, zeros, sg, cg, zeros, zeros, zeros, ones], -1
+        ).reshape(s, 3, 3)[batch["image_indices"]]  # [U, 3, 3]
+        p2 = {
+            **full_params,
+            "eval_latents": {**base, "eval_scale": q["scale"]},
+        }
+        return eval_latent_loss_fn(
+            model, p2, k, batch, jnp.asarray(i, jnp.float32), rotation=rot
         )
-        return q, losses
 
-    q, losses = jax.jit(run)(q0, opt_state, params, stacked, const, rng)
+    q, losses = _presampled_adam_scan(
+        optimizer, q0, opt_state, batches, rng, loss_of,
+        aux=(params, base_eval),
+    )
     gamma = np.asarray(jax.nn.sigmoid(q["rot_logit"]) * 2.0 * np.pi)
     out_params = {
         **params,
-        "eval_latents": {**base_eval, "eval_scale": q["scale"]},
+        "eval_latents": {
+            **base_eval,
+            "eval_scale": q["scale"],
+            "eval_rotation": q["rot_logit"],
+        },
     }
     return out_params, gamma, [float(x) for x in np.asarray(losses)]
 
@@ -393,8 +409,21 @@ def run_nerfosr_protocol(
             "envmap_fit_psnr": [float(x) for x in envmap_psnr],
             "session_rotation_rad": [float(g) for g in gamma],
         }
+        # the fitted rotation is APPLIED at compare-render time (the
+        # reference registers eval_rotation but renders with identity —
+        # ``neusky_pipeline.py:423`` never threads it; rendering with the
+        # rotation the scale was co-fitted under is the consistent choice,
+        # divergence documented here)
+        cg, sg = np.cos(gamma), np.sin(gamma)
+        session_rot = np.zeros((len(gamma), 3, 3), np.float32)
+        session_rot[:, 0, 0] = cg
+        session_rot[:, 0, 1] = -sg
+        session_rot[:, 1, 0] = sg
+        session_rot[:, 1, 1] = cg
+        session_rot[:, 2, 2] = 1.0
     else:
         envmap_info = None
+        session_rot = None
         fit_pool = "compare" if optimise_compare_eval_scale else "optimise"
         params, fit_losses = fit_eval_latents(
             model, params, None, k_fit, steps=fit_steps,
@@ -409,7 +438,10 @@ def run_nerfosr_protocol(
         image_idx, slot, rb, gt_batch = protocol.compare_image(i)
         rng, k = jax.random.split(rng)
         t0 = time.perf_counter()
-        out = render_camera(model, params, rb, slot, k, chunk_fn, chunk_size)
+        rot = jnp.asarray(session_rot[slot]) if session_rot is not None else None
+        out = render_camera(
+            model, params, rb, slot, k, chunk_fn, chunk_size, rotation=rot
+        )
         dt = time.perf_counter() - t0
         pred = out["rgb"].reshape(h, w, 3)
         gt = np.asarray(gt_batch["image"]).reshape(h, w, 3)
@@ -478,7 +510,15 @@ def _load_session_envmaps(po: Dict[str, Any], width: int = 128) -> np.ndarray:
     )
     out = []
     for s in sessions:
-        f = next(x for x in files if os.path.basename(os.path.dirname(x)) == s)
+        f = next(
+            (x for x in files if os.path.basename(os.path.dirname(x)) == s),
+            None,
+        )
+        if f is None:
+            raise SystemExit(
+                f"session {s!r} has no png/jpg envmap directly under "
+                f"ENV_MAP_CC/{s}/ (found files: {len(files)} across sessions)"
+            )
         img = Image.open(f).convert("RGB").resize(
             (width, width // 2), Image.BILINEAR
         )

@@ -29,12 +29,7 @@ import numpy as np
 
 from neusky_tpu.data.datamanager import DataManager
 from neusky_tpu.engine import optimizers as opt_mod
-from neusky_tpu.engine.checkpoint import (
-    latest_step,
-    load_checkpoint,
-    load_param_subtrees,
-    save_checkpoint,
-)
+from neusky_tpu.engine.checkpoint import load_checkpoint, save_checkpoint
 from neusky_tpu.models.neusky import NeuSkyModel
 from neusky_tpu.models.pipeline import PipelineConfig
 from neusky_tpu.parallel.mesh import make_train_step

@@ -277,6 +277,37 @@ def test_datamanager_reseed(scene):
     np.testing.assert_array_equal(ca, d.next_train(5000)["pixel_coords"])
 
 
+def test_datamanager_reseed_native(scene):
+    """reseed must also rebuild the C++ prefetcher (it was a silent no-op
+    for the native path — r2 review)."""
+    from neusky_tpu.data.native_sampler import native_available
+
+    if not native_available():
+        import pytest
+
+        pytest.skip("native sampler not built / no toolchain")
+
+    def make():
+        return DataManager(
+            DataManagerConfig(
+                pixel_sampler=PixelSamplerConfig(images_per_batch=2, rays_per_image=8),
+                use_native_sampler=True,
+            ),
+            scene["cameras"], scene["images"], scene["masks"],
+        )
+
+    a = make()
+    assert a._native is not None
+    first = a.next_train(0)["pixel_coords"].copy()
+    a.reseed(5000)
+    resumed = a.next_train(5000)["pixel_coords"]
+    assert not np.array_equal(first, resumed)
+    # deterministic per (seed, step)
+    b = make()
+    b.reseed(5000)
+    np.testing.assert_array_equal(resumed, b.next_train(5000)["pixel_coords"])
+
+
 def test_datamanager_native_sampler(scene):
     """use_native_sampler=True must produce batches with the same layout,
     dtypes, and mask semantics as the numpy path (and train end-to-end the

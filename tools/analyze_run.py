@@ -68,9 +68,13 @@ def compare(paths):
     hdr = " | ".join(f"{n} psnr / ddf-psnr" for n, _ in runs)
     print(f"| step | {hdr} |")
     print("|" + "---|" * (len(runs) + 1))
+    def fmt(rec, key):
+        v = rec.get(key)
+        return f"{v:.2f}" if isinstance(v, (int, float)) else "—"
+
     for s in steps:
         cells = " | ".join(
-            f"{b[s]['psnr']:.2f} / {b[s]['ddf_depth_psnr']:.2f}" for _, b in runs
+            f"{fmt(b[s], 'psnr')} / {fmt(b[s], 'ddf_depth_psnr')}" for _, b in runs
         )
         print(f"| {s} | {cells} |")
 
