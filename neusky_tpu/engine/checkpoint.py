@@ -91,17 +91,21 @@ def load_illumination_prior(params: Dict[str, Any], model_config) -> Dict[str, A
     if not path.is_absolute():
         repo_root = Path(__file__).resolve().parent.parent.parent
         path = repo_root / path
+    import sys
+
     if latest_step(path) is None:
         print(
             f"WARNING: illumination_prior_dir={path} has no checkpoint — "
             "training against an UNTRAINED decoder "
-            "(run tools/train_reni_prior.py to produce one)"
+            "(run tools/train_reni_prior.py to produce one)",
+            file=sys.stderr,
         )
         return params
     params = load_param_subtrees(
         path, None, params, include=("illumination_decoder",)
     )
-    print(f"loaded RENI++ prior decoder from {path}")
+    # stderr: callers like bench.py promise a single-JSON-line stdout
+    print(f"loaded RENI++ prior decoder from {path}", file=sys.stderr)
     return params
 
 
