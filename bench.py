@@ -25,12 +25,37 @@ A100_BASELINE_RAYS_PER_SEC = 2800.0
 
 def main():
     import os
+    import signal
 
     # persistent compile cache: full-scale executables take minutes to build
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
     os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "10")
 
+    # The device tunnel can wedge so hard that even jax.devices() blocks
+    # forever (observed r2). Emit a parseable failure line instead of
+    # hanging whoever invoked us.
+    def _dead(_sig, _frm):
+        print(
+            json.dumps(
+                {
+                    "metric": "joint_train_rays_per_sec_per_chip",
+                    "value": 0.0,
+                    "unit": "rays/s",
+                    "vs_baseline": 0.0,
+                    "error": "device tunnel unresponsive (init watchdog)",
+                }
+            ),
+            flush=True,
+        )
+        os._exit(2)
+
+    signal.signal(signal.SIGALRM, _dead)
+    signal.alarm(600)
+
     import jax
+
+    jax.devices()  # fail fast here, not mid-bench
+    signal.alarm(0)
     import jax.numpy as jnp
     import numpy as np
 
