@@ -128,7 +128,17 @@ def load_param_subtrees(
     if step is None:
         step = latest_step(base)
     ckptr = ocp.PyTreeCheckpointer()
-    restored = ckptr.restore(_ckpt_dir(Path(base), step).absolute())
+    path = _ckpt_dir(Path(base), step).absolute()
+    # restore as HOST numpy: a template-free restore would try to re-create
+    # the SAVING platform's sharding, which fails cross-topology (e.g. a
+    # TPU-saved prior restored on CPU); callers re-device as needed.
+    meta = ckptr.metadata(path)
+    tree = getattr(meta, "item_metadata", meta)
+    tree = getattr(tree, "tree", tree)
+    restore_args = jax.tree_util.tree_map(
+        lambda _: ocp.RestoreArgs(restore_type=np.ndarray), tree
+    )
+    restored = ckptr.restore(path, restore_args=restore_args)
     src = restored["params"]
     out = dict(params)
     keys = include if include else tuple(k for k in src.keys() if k not in exclude)
