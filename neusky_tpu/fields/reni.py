@@ -147,9 +147,14 @@ class RENIField(nn.Module):
         (inverse of the min-max log normalisation RENI++ trains under;
         consumed at ``neusky_model.py:504-506``)."""
         c = self.config
-        # clamp to the trained domain: un-warmed decoder outputs can exceed
-        # [-1, 1] and would overflow exp
-        rgb = jnp.clip(rgb, -1.0, 1.0)
+        # clamp to the trained domain (decoder outputs can exceed [-1, 1]
+        # and would overflow exp) — STRAIGHT-THROUGH gradient: a hard clip
+        # zeroes the latent gradient exactly where fits start (measured:
+        # the trained prior emits 1.4-2.1 at z=0, so a zero-initialised
+        # latent fit received literally zero gradient and the sky loss was
+        # a flat line — r2 diagnosis).  Forward values are unchanged.
+        clipped = jnp.clip(rgb, -1.0, 1.0)
+        rgb = rgb + jax.lax.stop_gradient(clipped - rgb)
         log_val = (rgb + 1.0) / 2.0 * (c.log_domain_max - c.log_domain_min) + c.log_domain_min
         return jnp.exp(log_val)
 
