@@ -213,41 +213,74 @@ def main():
         trace_dir = os.environ.get("NEUSKY_TRACE_DIR", "/tmp/jtrace")
         jax.profiler.start_trace(trace_dir)
 
-    n_steps = 3 if trace_dir else int(os.environ.get("NEUSKY_BENCH_STEPS", "20"))
+    n_steps = 3 if trace_dir else int(os.environ.get("NEUSKY_BENCH_STEPS", "12"))
+    n_repeats = 1 if trace_dir else int(os.environ.get("NEUSKY_BENCH_REPEATS", "3"))
     per_step = os.environ.get("NEUSKY_BENCH_VERBOSE", "") != ""
-    t0 = time.perf_counter()
-    for i in range(n_steps):
-        ts = time.perf_counter()
-        batch = dm.next_train(i)
-        tb = time.perf_counter()
-        rng, k = jax.random.split(rng)
-        params, opt_state, aux = step_fn(
-            params, opt_state, batch, k, np.float32(i + 1)
-        )
-        if per_step:
-            jax.block_until_ready(aux["total_loss"])
-            print(
-                f"step {i}: batch {tb - ts:.3f}s  step {time.perf_counter() - tb:.3f}s",
-                file=sys.stderr,
+
+    # Wall-clock on this 1-core box lies under load (PERF.md); the r2 bench
+    # regression (5011→2366 rays/s) was indistinguishable from contamination
+    # because a single 20-step loop was all we had.  Median of k independent
+    # loops + stddev + loadavg make a contaminated run self-identifying.
+    load_before = os.getloadavg()[0]
+    rates = []
+    step_i = 0
+    for rep in range(n_repeats):
+        t0 = time.perf_counter()
+        for _ in range(n_steps):
+            ts = time.perf_counter()
+            batch = dm.next_train(step_i)
+            tb = time.perf_counter()
+            rng, k = jax.random.split(rng)
+            params, opt_state, aux = step_fn(
+                params, opt_state, batch, k, np.float32(step_i + 1)
             )
-    jax.block_until_ready(aux["total_loss"])
-    dt = time.perf_counter() - t0
+            step_i += 1
+            if per_step:
+                jax.block_until_ready(aux["total_loss"])
+                print(
+                    f"step {step_i - 1}: batch {tb - ts:.3f}s  "
+                    f"step {time.perf_counter() - tb:.3f}s",
+                    file=sys.stderr,
+                )
+        jax.block_until_ready(aux["total_loss"])
+        rates.append(rays_per_step * n_steps / (time.perf_counter() - t0))
 
     if trace_dir:
         jax.profiler.stop_trace()
         print(f"trace written to {trace_dir}", file=sys.stderr)
 
-    rays_per_sec = rays_per_step * n_steps / dt
-    print(
-        json.dumps(
-            {
-                "metric": "joint_train_rays_per_sec_per_chip",
-                "value": round(rays_per_sec, 1),
-                "unit": "rays/s",
-                "vs_baseline": round(rays_per_sec / A100_BASELINE_RAYS_PER_SEC, 3),
-            }
+    rates_sorted = sorted(rates)
+    rays_per_sec = rates_sorted[len(rates_sorted) // 2]  # median loop rate
+    mean = sum(rates) / len(rates)
+    stddev = (sum((r - mean) ** 2 for r in rates) / len(rates)) ** 0.5
+    load_after = os.getloadavg()[0]
+
+    out = {
+        "metric": "joint_train_rays_per_sec_per_chip",
+        "value": round(rays_per_sec, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_sec / A100_BASELINE_RAYS_PER_SEC, 3),
+        "loop_rates": [round(r, 1) for r in rates],
+        "stddev": round(stddev, 1),
+        "loadavg_before": round(load_before, 2),
+        "loadavg_after": round(load_after, 2),
+        "steps_per_loop": n_steps,
+    }
+    # contamination guards: a loaded box (anything beyond this process on a
+    # 1-core machine) or unstable loop rates mean the number is not a real
+    # device-throughput measurement — say so in the JSON rather than letting
+    # a garbage value masquerade as a regression (VERDICT r2 item 5)
+    if len(rates) > 1 and stddev / max(mean, 1e-9) > 0.10:
+        out["warning"] = (
+            f"unstable: loop-rate stddev {stddev:.0f} is "
+            f"{100 * stddev / mean:.0f}% of mean — box contention suspected"
         )
-    )
+    if load_before > 1.5:
+        out["warning"] = (
+            f"contaminated: loadavg {load_before:.2f} before bench on a "
+            "1-core box — wall-clock rate unreliable"
+        )
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -226,3 +226,61 @@ def test_lpips_native():
     assert lpips_image(a, a) < 1e-6
     assert lpips_image(a, b) > 1e-4
     assert lpips_flavour() in ("vgg16-random", "vgg16-pretrained")
+
+
+def test_lpips_pretrained_loader(tmp_path, monkeypatch):
+    """The torch-state_dict branch of the LPIPS loader actually works: a
+    torchvision-format VGG16 ``state_dict`` (random values, REAL layout —
+    conv weights at ``features.{0,2,5,...,28}``) round-trips through
+    ``_convert_torch_vgg`` and flips the flavour to ``vgg16-pretrained``.
+    Reference metric: ``/root/reference/neusky/models/ddf_model.py:29-31,146-149``.
+    With real torchvision weights the one-command path is:
+    ``NEUSKY_VGG_WEIGHTS=/path/vgg16.pth`` (or drop the file at
+    ``checkpoints/vgg16.pth``)."""
+    import torch
+
+    from neusky_tpu.engine import lpips as lpips_mod
+
+    # torchvision VGG16 'features' conv indices and channel plan
+    conv_idx = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28]
+    chans = [64, 64, 128, 128, 256, 256, 256, 512, 512, 512, 512, 512, 512]
+    sd = {}
+    cin = 3
+    g = torch.Generator().manual_seed(0)
+    for i, cout in zip(conv_idx, chans):
+        sd[f"features.{i}.weight"] = torch.randn(
+            (cout, cin, 3, 3), generator=g
+        ) * 0.05
+        sd[f"features.{i}.bias"] = torch.zeros((cout,))
+        cin = cout
+    # classifier keys must be ignored by the converter
+    sd["classifier.0.weight"] = torch.zeros((8, 8))
+    path = tmp_path / "vgg16.pth"
+    torch.save(sd, path)
+
+    convs = lpips_mod._convert_torch_vgg(path)
+    assert len(convs) == 13
+    assert convs[0][0].shape == (3, 3, 3, 64)  # HWIO
+    assert convs[-1][0].shape == (3, 3, 512, 512)
+    # bit-exact layout mapping: torch [cout,cin,kh,kw] → jax [kh,kw,cin,cout]
+    np.testing.assert_allclose(
+        convs[2][0][1, 2, 3, 7],
+        sd["features.5.weight"][7, 3, 1, 2].numpy(),
+    )
+
+    # end-to-end: env var → pretrained flavour → finite, ordered metric
+    monkeypatch.setenv("NEUSKY_VGG_WEIGHTS", str(path))
+    saved_cache = dict(lpips_mod._cache)
+    lpips_mod._cache.clear()
+    try:
+        rng = np.random.default_rng(1)
+        a = rng.uniform(size=(48, 48, 3)).astype(np.float32)
+        b = np.clip(a + rng.normal(0, 0.2, a.shape).astype(np.float32), 0, 1)
+        same, flavour = lpips_mod.lpips(a, a)
+        diff, _ = lpips_mod.lpips(a, b)
+        assert flavour == "vgg16-pretrained"
+        assert same < 1e-6
+        assert np.isfinite(diff) and diff > same
+    finally:
+        lpips_mod._cache.clear()
+        lpips_mod._cache.update(saved_cache)

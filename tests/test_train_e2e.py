@@ -157,6 +157,52 @@ def test_full_joint_step_runs(sphere_scene):
     assert "sdf_level_set_visibility_loss" in last
 
 
+def test_blinn_phong_e2e(sphere_scene):
+    """``predict_shininess=True`` drives the Blinn-Phong compositing branch
+    through the FULL model forward + losses + train steps (reference wires
+    it at ``sdf_albedo_field.py:76`` and ``neusky_model.py:797-813``;
+    renderer semantics ``renderers.py:179-253``)."""
+    import dataclasses
+
+    _, dm = sphere_scene
+    cfg = tiny_model_config(use_visibility=True, fit_visibility=True)
+    cfg = dataclasses.replace(
+        cfg,
+        sdf_field=dataclasses.replace(cfg.sdf_field, predict_shininess=True),
+    )
+    model = NeuSkyModel(cfg)
+    # the colour head must actually emit the extra shininess channel
+    params = model.init(jax.random.PRNGKey(0))
+    from neusky_tpu.core.rays import RayBundle
+    from neusky_tpu.sampling.proposal import (
+        bins_to_ray_samples,
+        uniform_lindisp_samples,
+    )
+
+    n = 4
+    d = jax.random.normal(jax.random.PRNGKey(1), (n, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    rb = RayBundle.create(
+        origins=jnp.tile(jnp.array([[0.0, -0.9, 0.2]]), (n, 1)), directions=d,
+        nears=jnp.full((n, 1), 0.05), fars=jnp.full((n, 1), 2.0),
+    )
+    bins = uniform_lindisp_samples(None, rb, 8, train=False)
+    rs = bins_to_ray_samples(rb, bins)
+    field_out = model.field.apply(
+        params["fields"], rs, True, 1.0, None,
+        method=model.field.field_outputs,
+    )
+    assert "shininess" in field_out
+    assert field_out["shininess"].shape == (n, 8, 1)
+
+    # and the full joint step trains finite with the specular branch live
+    trainer = _tiny_trainer(cfg, dm, steps=12)
+    history = trainer.run()
+    first, last = history[0], history[-1]
+    assert np.isfinite(last["total_loss"]), last
+    assert last["total_loss"] < first["total_loss"], (first, last)
+
+
 def test_upper_hemisphere_pruning_exact(sphere_scene):
     """Pruned visibility (top-K z cull) must equal the unpruned computation
     on the upper hemisphere and the fill constant below."""
