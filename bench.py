@@ -72,68 +72,11 @@ def main():
     from neusky_tpu.parallel.mesh import make_train_step_split
     from neusky_tpu.sampling.ddf_sampler import DDFSamplerConfig
 
-    cfg = neusky_model_config(num_train_data=8, num_eval_data=2)
-    if os.environ.get("NEUSKY_BENCH_BF16", ""):
-        import dataclasses
+    from neusky_tpu.configs.env_overrides import apply_env_knobs, knob_summary
 
-        cfg = dataclasses.replace(
-            cfg, sdf_field=dataclasses.replace(cfg.sdf_field, use_bf16_compute=True)
-        )
-    # A/B knobs for perf experiments (no code edits between runs)
-    if os.environ.get("NEUSKY_VIS_CHUNK", ""):
-        import dataclasses
-
-        cfg = dataclasses.replace(
-            cfg, visibility_query_chunk=int(os.environ["NEUSKY_VIS_CHUNK"])
-        )
-    if os.environ.get("NEUSKY_EXACT_PROPOSAL_FWD", ""):
-        import dataclasses
-
-        cfg = dataclasses.replace(
-            cfg,
-            proposal_fields=tuple(
-                dataclasses.replace(p, stochastic_forward=False)
-                for p in cfg.proposal_fields
-            ),
-        )
-    if os.environ.get("NEUSKY_EXACT_TABLE_GRADS", ""):
-        import dataclasses
-
-        cfg = dataclasses.replace(
-            cfg,
-            sdf_field=dataclasses.replace(
-                cfg.sdf_field, stochastic_table_grads=False
-            ),
-        )
-    if os.environ.get("NEUSKY_VECTORIZED", "") != "":
-        # A/B: all-levels-in-one vs per-level hash encode ops
-        # (1 → vectorized, 0 → per-level; default = HashGridConfig default)
-        import dataclasses
-
-        from neusky_tpu.ops.hashgrid import HashGridConfig
-
-        vec = os.environ["NEUSKY_VECTORIZED"].strip().lower() not in (
-            "0", "false", "off", "no",
-        )
-
-        def _setvec(node):
-            if isinstance(node, HashGridConfig):
-                return dataclasses.replace(node, vectorized=vec)
-            if dataclasses.is_dataclass(node) and not isinstance(node, type):
-                return dataclasses.replace(
-                    node,
-                    **{
-                        f.name: _setvec(getattr(node, f.name))
-                        for f in dataclasses.fields(node)
-                        if dataclasses.is_dataclass(getattr(node, f.name))
-                        or isinstance(getattr(node, f.name), tuple)
-                    },
-                )
-            if isinstance(node, tuple):
-                return tuple(_setvec(v) for v in node)
-            return node
-
-        cfg = _setvec(cfg)
+    # A/B knobs for perf experiments (no code edits between runs) — shared
+    # with tools/train_sanity.py so bench and training A/Bs see one config
+    cfg = apply_env_knobs(neusky_model_config(num_train_data=8, num_eval_data=2))
     model = NeuSkyModel(cfg)
     pipe = PipelineConfig(
         visibility_train_sampler=DDFSamplerConfig(
@@ -266,6 +209,9 @@ def main():
         "loadavg_after": round(load_after, 2),
         "steps_per_loop": n_steps,
     }
+    knobs = knob_summary()
+    if knobs:
+        out["knobs"] = knobs
     # contamination guards: a loaded box (anything beyond this process on a
     # 1-core machine) or unstable loop rates mean the number is not a real
     # device-throughput measurement — say so in the JSON rather than letting

@@ -1,0 +1,87 @@
+"""Environment-variable A/B knobs shared by every TPU entry point.
+
+Perf/quality experiments must be runnable WITHOUT code edits between runs
+(bench.py, tools/train_sanity.py, tools/run_segmented.sh all honour the
+same knobs), so that an A/B pair differs only in its environment:
+
+- ``NEUSKY_BENCH_BF16=1``        — bf16 matmuls in the SDF geometry/colour
+  MLPs (fp32 params/accumulation; DDF FiLM is already bf16).
+- ``NEUSKY_VIS_CHUNK=<n>``       — visibility query chunk size.
+- ``NEUSKY_EXACT_PROPOSAL_FWD=1``— exact 8-corner proposal forward instead
+  of the stochastic single-corner estimator.
+- ``NEUSKY_EXACT_TABLE_GRADS=1`` — exact 8-corner SDF hash-table gradients
+  instead of stochastic-corner.
+- ``NEUSKY_VECTORIZED={0,1}``    — all-levels-in-one vs per-level hash
+  encode ops (measured slower on v5e — transposed layouts; see PERF.md).
+
+Reference step semantics being benchmarked:
+``/root/reference/neusky/pipelines/neusky_pipeline.py:240-291``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+
+def apply_env_knobs(cfg):
+    """Return ``cfg`` with any NEUSKY_* experiment env knobs applied."""
+    if os.environ.get("NEUSKY_BENCH_BF16", ""):
+        cfg = dataclasses.replace(
+            cfg, sdf_field=dataclasses.replace(cfg.sdf_field, use_bf16_compute=True)
+        )
+    if os.environ.get("NEUSKY_VIS_CHUNK", ""):
+        cfg = dataclasses.replace(
+            cfg, visibility_query_chunk=int(os.environ["NEUSKY_VIS_CHUNK"])
+        )
+    if os.environ.get("NEUSKY_EXACT_PROPOSAL_FWD", ""):
+        cfg = dataclasses.replace(
+            cfg,
+            proposal_fields=tuple(
+                dataclasses.replace(p, stochastic_forward=False)
+                for p in cfg.proposal_fields
+            ),
+        )
+    if os.environ.get("NEUSKY_EXACT_TABLE_GRADS", ""):
+        cfg = dataclasses.replace(
+            cfg,
+            sdf_field=dataclasses.replace(cfg.sdf_field, stochastic_table_grads=False),
+        )
+    if os.environ.get("NEUSKY_VECTORIZED", "") != "":
+        from neusky_tpu.ops.hashgrid import HashGridConfig
+
+        vec = os.environ["NEUSKY_VECTORIZED"].strip().lower() not in (
+            "0", "false", "off", "no",
+        )
+
+        def _setvec(node):
+            if isinstance(node, HashGridConfig):
+                return dataclasses.replace(node, vectorized=vec)
+            if dataclasses.is_dataclass(node) and not isinstance(node, type):
+                return dataclasses.replace(
+                    node,
+                    **{
+                        f.name: _setvec(getattr(node, f.name))
+                        for f in dataclasses.fields(node)
+                        if dataclasses.is_dataclass(getattr(node, f.name))
+                        or isinstance(getattr(node, f.name), tuple)
+                    },
+                )
+            if isinstance(node, tuple):
+                return tuple(_setvec(v) for v in node)
+            return node
+
+        cfg = _setvec(cfg)
+    return cfg
+
+
+def knob_summary() -> dict:
+    """The active knob values, for embedding in result JSON lines."""
+    keys = (
+        "NEUSKY_BENCH_BF16",
+        "NEUSKY_VIS_CHUNK",
+        "NEUSKY_EXACT_PROPOSAL_FWD",
+        "NEUSKY_EXACT_TABLE_GRADS",
+        "NEUSKY_VECTORIZED",
+    )
+    return {k: os.environ[k] for k in keys if os.environ.get(k, "") != ""}

@@ -233,3 +233,40 @@ def test_sp_visibility_does_not_materialise_full_nd():
     assert full_act not in hlo, (
         f"SP path materialises the full N*D hidden activation {full_act}"
     )
+
+
+@needs_8
+def test_sp_visibility_memory_scales_with_mesh():
+    """Per-device memory of the compiled SP visibility executable must scale
+    down with the mesh (VERDICT r2 item 6): the visibility working set is
+    [N·D]-shaped, so sharding dirs×data over a 4x2 mesh should cut the
+    per-device temp allocation well below the unsharded compile — this is
+    the quantitative form of the no-materialise HLO assertion above, and
+    the contract that lets the reference's OOM site
+    (``/root/reference/neusky/models/neusky_model.py:1685-1699``) scale by
+    adding chips instead of shrinking batch."""
+    model, params = _tiny_vis_model(chunk=512)
+    rs, p2p, light_dirs = _vis_inputs(n=2048)  # N*D = 2048*12 = 24576
+
+    def fn(p):
+        return model.compute_visibility(
+            p, rs, p2p, light_dirs,
+            threshold_distance=jnp.asarray(0.1),
+            sigmoid_scale=jnp.asarray(25.0),
+            stop_sdf_gradients=True,
+            compute_sdf_at_termination=False,
+        )["visibility"]
+
+    plain = jax.jit(fn).lower(params).compile()
+    model.set_mesh(_mesh_2d())
+    sp = jax.jit(fn).lower(params).compile()
+    model.set_mesh(None)
+
+    plain_tmp = plain.memory_analysis().temp_size_in_bytes
+    sp_tmp = sp.memory_analysis().temp_size_in_bytes
+    assert plain_tmp > 0
+    # 8-device mesh → expect ≈1/8; assert a conservative ≥2× reduction so
+    # the test stays robust to compiler padding/fusion noise across versions
+    assert sp_tmp * 2 <= plain_tmp, (
+        f"SP per-device temp {sp_tmp} not < half of unsharded {plain_tmp}"
+    )
