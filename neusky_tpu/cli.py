@@ -108,10 +108,16 @@ def _build_datamanager(args, model_config, dataparser: str = "nerfosr"):
     else:
         from neusky_tpu.data.dataparsers.nerfosr import (
             NeRFOSRDataparserConfig,
+            parse_holdout_arg,
             parse_nerfosr_scene,
         )
 
-        parser_cfg = NeRFOSRDataparserConfig(data=args.data, scene=args.scene)
+        parser_cfg = NeRFOSRDataparserConfig(
+            data=args.data, scene=args.scene,
+            session_holdout_indices=parse_holdout_arg(
+                getattr(args, "session_holdout_indices", "0,0,0,0,0")
+            ),
+        )
         train_po = parse_nerfosr_scene(parser_cfg, "train")
         val_po = parse_nerfosr_scene(parser_cfg, "validation")
     train_data = NeuSkyDataset(train_po, "train", args.downscale).load()
@@ -250,6 +256,11 @@ def main(argv=None):
         p.add_argument("--protocol", default=None, choices=(None, "nerfosr"),
                        help="eval: run the NeRF-OSR session-holdout "
                        "relighting benchmark (metrics JSON)")
+        p.add_argument("--session-holdout-indices", default="0,0,0,0,0",
+                       help="comma-separated per-session holdout image "
+                       "indices; length must equal the scene's session "
+                       "count (reference "
+                       "nerfosr_cityscapes_dataparser.py:189,361-364)")
 
     args, unknown = parser.parse_known_args(argv)
     overrides = []

@@ -72,6 +72,13 @@ class NeRFOSRDataparserConfig:
     session_holdout_indices: Tuple[int, ...] = (0, 0, 0, 0, 0)
 
 
+def parse_holdout_arg(s) -> Tuple[int, ...]:
+    """CLI ``--session-holdout-indices`` "0,1,0" → (0, 1, 0)."""
+    if isinstance(s, (tuple, list)):
+        return tuple(int(x) for x in s)
+    return tuple(int(x) for x in str(s).split(",") if x.strip() != "")
+
+
 def _find_files(directory: str, exts: List[str], recursive: bool = False) -> List[str]:
     if not os.path.isdir(directory):
         return []
@@ -106,6 +113,9 @@ def _load_split_cameras(scene_dir: str, split: str) -> Tuple[np.ndarray, np.ndar
 
 
 def parse_nerfosr_scene(config: NeRFOSRDataparserConfig, split: str = "train") -> Dict:
+    if config.crop_to_equal_size and config.pad_to_equal_size:
+        # reference: ``nerfosr_cityscapes_dataparser.py:216-219`` (__post_init__)
+        raise ValueError("Cannot crop and pad at the same time")
     scene = _SCENE_ALIASES.get(config.scene, config.scene)
     split = "validation" if split == "val" else split
     sub = "final_clean" if scene == "trevi" else "final"
@@ -196,6 +206,15 @@ def parse_nerfosr_scene(config: NeRFOSRDataparserConfig, split: str = "train") -
         for s_idx, idxs in session_to_indices.items():
             for idx in idxs:
                 indices_to_session[idx] = s_idx
+        if split in ("validation", "test") and len(
+            config.session_holdout_indices
+        ) != len(session_to_indices):
+            # reference: ``nerfosr_cityscapes_dataparser.py:361-364``
+            raise ValueError(
+                f"number of relative eval indices "
+                f"({len(config.session_holdout_indices)}) must match number "
+                f"of unique sessions ({len(session_to_indices)})"
+            )
 
     # masks
     mask_filenames = None

@@ -536,6 +536,7 @@ def run_nerfosr_eval(args, overrides):
     from neusky_tpu.configs import METHOD_REGISTRY
     from neusky_tpu.data.dataparsers.nerfosr import (
         NeRFOSRDataparserConfig,
+        parse_holdout_arg,
         parse_nerfosr_scene,
     )
     from neusky_tpu.data.dataset import NeuSkyDataset
@@ -546,7 +547,12 @@ def run_nerfosr_eval(args, overrides):
     bundle = _apply_overrides(spec.build(), overrides)
     model_config = bundle["model_config"]
 
-    parser_cfg = NeRFOSRDataparserConfig(data=args.data, scene=args.scene)
+    parser_cfg = NeRFOSRDataparserConfig(
+        data=args.data, scene=args.scene,
+        session_holdout_indices=parse_holdout_arg(
+            getattr(args, "session_holdout_indices", "0,0,0,0,0")
+        ),
+    )
     train_po = parse_nerfosr_scene(parser_cfg, "train")
     test_po = parse_nerfosr_scene(parser_cfg, "test")
     test_data = NeuSkyDataset(test_po, "test", args.downscale).load()

@@ -28,7 +28,9 @@ def test_fixture_parses(fixture_dir):
         parse_nerfosr_scene,
     )
 
-    cfg = NeRFOSRDataparserConfig(data=str(fixture_dir), scene="site1")
+    cfg = NeRFOSRDataparserConfig(
+        data=str(fixture_dir), scene="site1", session_holdout_indices=(0, 0)
+    )
     po = parse_nerfosr_scene(cfg, "test")
     assert po["session_to_indices"] == {0: [0, 1], 1: [2, 3]}
     # holdout image 0 per session; eval masks on image 1 of each session
@@ -44,6 +46,7 @@ def test_protocol_end_to_end(fixture_dir, tmp_path):
     main([
         "train", "neusky-tiny",
         "--data", str(fixture_dir), "--scene", "site1",
+        "--session-holdout-indices", "0,0",
         "--max-iterations", "3", "--rays-per-batch", "32",
         "--output-dir", str(out_dir),
     ])
@@ -52,6 +55,7 @@ def test_protocol_end_to_end(fixture_dir, tmp_path):
     main([
         "eval", "neusky-tiny",
         "--data", str(fixture_dir), "--scene", "site1",
+        "--session-holdout-indices", "0,0",
         "--load-dir", str(out_dir),
         "--protocol", "nerfosr",
         "--output", str(metrics_path),
@@ -78,6 +82,7 @@ def test_protocol_envmap_mode(fixture_dir, tmp_path):
     main([
         "train", "neusky-tiny",
         "--data", str(fixture_dir), "--scene", "site1",
+        "--session-holdout-indices", "0,0",
         "--max-iterations", "2", "--rays-per-batch", "32",
         "--output-dir", str(out_dir),
     ])
@@ -85,6 +90,7 @@ def test_protocol_envmap_mode(fixture_dir, tmp_path):
     main([
         "eval", "neusky-tiny",
         "--data", str(fixture_dir), "--scene", "site1",
+        "--session-holdout-indices", "0,0",
         "--load-dir", str(out_dir),
         "--protocol", "nerfosr",
         "--output", str(metrics_path),
@@ -113,7 +119,9 @@ def test_fit_eval_rotation(fixture_dir):
     from neusky_tpu.engine.eval_loop import fit_eval_rotation
     from neusky_tpu.models.neusky import NeuSkyModel
 
-    cfg = NeRFOSRDataparserConfig(data=str(fixture_dir), scene="site1")
+    cfg = NeRFOSRDataparserConfig(
+        data=str(fixture_dir), scene="site1", session_holdout_indices=(0, 0)
+    )
     po = parse_nerfosr_scene(cfg, "test")
     data = NeuSkyDataset(po, "test").load()
     protocol = NeRFOSREvalProtocol(

@@ -12,7 +12,11 @@ set -u
 TOTAL=$1; CKPT=$2; OUT=$3; shift 3
 SEG=${SEG:-2000}           # steps per segment invocation
 STALE_S=${STALE_S:-300}    # no log progress for this long → kill segment
-GRACE_S=${GRACE_S:-420}    # allowance for compile+restore before first log
+GRACE_S=${GRACE_S:-1200}   # allowance for compile+restore before first log
+                           # (full-scale FIRST compile is ~10 min on this
+                           # 1-core box; 420 s killed healthy compiling
+                           # segments — train_sanity now also uses the
+                           # persistent compile cache so resumes are fast)
 COOLDOWN=${COOLDOWN:-90}   # tunnel lease release between processes
 
 for attempt in $(seq 1 60); do

@@ -60,6 +60,13 @@ def main():
     args = ap.parse_args()
     num_steps, log_every = args.steps, args.log_every
 
+    # persistent compile cache: segmented long runs re-enter this script
+    # every few thousand steps; without the cache EVERY segment pays the
+    # full ~10 min step-fn compile (and run_segmented.sh's grace window
+    # killed healthy compiling segments — observed r3)
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "10")
+
     import jax
     import jax.numpy as jnp
     import numpy as np
