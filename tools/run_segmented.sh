@@ -20,7 +20,10 @@ GRACE_S=${GRACE_S:-1200}   # allowance for compile+restore before first log
 COOLDOWN=${COOLDOWN:-90}   # tunnel lease release between processes
 
 for attempt in $(seq 1 60); do
-  python tools/train_sanity.py "$TOTAL" 250 \
+  # log every 100 steps: the staleness watchdog needs a heartbeat faster
+  # than STALE_S even when steps run slow (a 250-step interval at >1.2 s/step
+  # outlives a 300 s window and the watchdog kills a HEALTHY run)
+  python tools/train_sanity.py "$TOTAL" 100 \
     --out "$OUT" --ckpt-dir "$CKPT" --resume \
     --segment-steps "$SEG" --ckpt-every 500 "$@" &
   pid=$!
