@@ -11,6 +11,8 @@ same knobs), so that an A/B pair differs only in its environment:
   of the stochastic single-corner estimator.
 - ``NEUSKY_EXACT_TABLE_GRADS=1`` — exact 8-corner SDF hash-table gradients
   instead of stochastic-corner.
+- ``NEUSKY_STOCH_DXT={0,1}``     — stochastic 1-corner position cotangent
+  in the sdf-level-set encode backward (vs the exact 8-corner re-gather).
 - ``NEUSKY_VECTORIZED={0,1}``    — all-levels-in-one vs per-level hash
   encode ops (measured slower on v5e — transposed layouts; see PERF.md).
 
@@ -47,6 +49,13 @@ def apply_env_knobs(cfg):
             cfg,
             sdf_field=dataclasses.replace(cfg.sdf_field, stochastic_table_grads=False),
         )
+    if os.environ.get("NEUSKY_STOCH_DXT", "") != "":
+        on = os.environ["NEUSKY_STOCH_DXT"].strip().lower() not in (
+            "0", "false", "off", "no",
+        )
+        cfg = dataclasses.replace(
+            cfg, sdf_field=dataclasses.replace(cfg.sdf_field, stochastic_dxt=on)
+        )
     if os.environ.get("NEUSKY_VECTORIZED", "") != "":
         from neusky_tpu.ops.hashgrid import HashGridConfig
 
@@ -82,6 +91,7 @@ def knob_summary() -> dict:
         "NEUSKY_VIS_CHUNK",
         "NEUSKY_EXACT_PROPOSAL_FWD",
         "NEUSKY_EXACT_TABLE_GRADS",
+        "NEUSKY_STOCH_DXT",
         "NEUSKY_VECTORIZED",
     )
     return {k: os.environ[k] for k in keys if os.environ.get(k, "") != ""}

@@ -70,6 +70,13 @@ class SDFAlbedoFieldConfig:
     """bf16 matmuls (fp32 params/accumulation) in the geometry and colour
     MLPs — 2× MXU rate, half the activation bandwidth.  SDF values and
     gradients stay fp32 at the layer boundaries (preferred_element_type)."""
+    stochastic_dxt: bool = False
+    """With ``stochastic_table_grads``: also sample ONE uniform corner for
+    the hash-encode POSITION cotangent in ``sdf_only`` (×8 weight, unbiased)
+    instead of the exact 8-corner feature re-gather in backward.  Affects
+    only the sdf-level-set path (∂sdf/∂x·∂x/∂DDF through termination
+    points, reference ``ddf_model.py:241-251``) — a path that is already a
+    strided stochastic subset of directions.  A/B: ``NEUSKY_STOCH_DXT``."""
 
 
 class SDFAlbedoField(nn.Module):
@@ -171,6 +178,7 @@ class SDFAlbedoField(nn.Module):
                 self.encoding(
                     self.hash_table, x01, custom_take=custom_take,
                     stoch_salt=stoch_salt,
+                    stoch_dxt=(c.stochastic_dxt and stoch_salt is not None),
                 )
             )
         return jnp.concatenate(feats, axis=-1)

@@ -274,6 +274,7 @@ class HashGridEncoding:
         stoch_u: Optional[jnp.ndarray] = None,
         stoch_salt: Optional[jnp.ndarray] = None,
         stoch_fwd: bool = False,
+        stoch_dxt: bool = False,
     ) -> jnp.ndarray:
         """Encode positions. x: [N, 3] in [0,1] → [N, L*F].
 
@@ -306,6 +307,11 @@ class HashGridEncoding:
         n = x.shape[0]
         xt = x.T  # [3, N]
         if c.vectorized:
+            if stoch_dxt and stoch_salt is not None:
+                raise NotImplementedError(
+                    "stoch_dxt is implemented for the per-level encode only "
+                    "(HashGridConfig.vectorized=False, the measured default)"
+                )
             if stoch_u is not None and stoch_fwd:
                 out = _encode_all_stoch_fp(self, table, xt, stoch_u)
             elif stoch_u is not None:
@@ -329,10 +335,10 @@ class HashGridEncoding:
         for lvl in range(c.num_levels):
             if custom_take and stoch_u is None and stoch_salt is not None:
                 # stochastic-corner TABLE grad, exact forward + position
-                # cotangent (8× fewer scatter rows)
-                outs.append(
-                    _level_encode_stoch(self, lvl, table[lvl], xt, stoch_salt)
-                )
+                # cotangent (8× fewer scatter rows); stoch_dxt additionally
+                # samples the position cotangent (8× fewer BWD gather rows)
+                op = _level_encode_stoch_sdxt if stoch_dxt else _level_encode_stoch
+                outs.append(op(self, lvl, table[lvl], xt, stoch_salt))
                 continue
             if custom_take and stoch_u is None:
                 outs.append(_level_encode(self, lvl, table[lvl], xt))
@@ -573,6 +579,55 @@ def _level_encode_stoch_bwd(enc, lvl, res, g):
 
 
 _level_encode_stoch.defvjp(_level_encode_stoch_fwd, _level_encode_stoch_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _level_encode_stoch_sdxt(enc: "HashGridEncoding", lvl: int, t2, xt, salt):
+    """= ``_level_encode_stoch`` forward, but the POSITION cotangent is
+    stochastic too: one uniform corner (p = 1/8, value ×8) replaces the
+    exact 8-corner feature re-gather in backward.  Cuts the backward gather
+    from 8 to 1 row per (sample, level) — the re-gather was ~11% of the
+    training step at canonical scale (PERF.md r3 trace).  Unbiased:
+    E[8·dW[:,c,:]·Σ_f g·feats_c] = Σ_c dW[:,c,:]·gf_c (uniform c), and the
+    draw is decorrelated from the table-grad corner draw (different level
+    stream into the salt hash) so table and position noise don't couple."""
+    idx, W, _ = enc._level_iw(xt, lvl, need_dw=False)
+    feats = jnp.take(t2, idx, axis=1)  # [F, 8, N]
+    return jnp.sum(W.astype(t2.dtype)[None] * feats, axis=1)
+
+
+def _level_encode_stoch_sdxt_fwd(enc, lvl, t2, xt, salt):
+    return _level_encode_stoch_sdxt(enc, lvl, t2, xt, salt), (t2, xt, salt)
+
+
+def _level_encode_stoch_sdxt_bwd(enc, lvl, res, g):
+    from neusky_tpu.ops.hashgrid_pallas import _sample_corner
+
+    t2, xt, salt = res
+    idx, W, dW = enc._level_iw(xt, lvl, need_dw=True)
+    n = xt.shape[1]
+    # table gradient: identical to _level_encode_stoch_bwd
+    u = _cheap_hash_u(n, lvl, salt)
+    rows, wsum = _sample_corner(idx, W.astype(g.dtype), u)
+    d = _scatter_ft(rows, g * wsum[None, :], t2.shape[1])
+    # position cotangent: ONE uniform corner (importance weights don't
+    # apply — dW mixes signs), independent stream (lvl offset ≥ num_levels
+    # so it never collides with any table-grad draw)
+    u2 = _cheap_hash_u(n, lvl + 131, salt)
+    c = jnp.minimum((u2 * 8.0).astype(jnp.int32), 7)  # [N]
+    rows2 = jnp.take_along_axis(idx, c[None, :], axis=0)[0]  # [N]
+    feats_c = jnp.take(t2, rows2, axis=1).astype(g.dtype)  # [F, N] — 1 row
+    gf = jnp.sum(g * feats_c, axis=0)  # [N]
+    dw_c = jnp.take_along_axis(
+        dW.astype(g.dtype), jnp.broadcast_to(c[None, None, :], (3, 1, n)), axis=1
+    )[:, 0, :]  # [3, N]
+    dxt = 8.0 * dw_c * gf[None]
+    return d, dxt, jnp.zeros_like(salt)
+
+
+_level_encode_stoch_sdxt.defvjp(
+    _level_encode_stoch_sdxt_fwd, _level_encode_stoch_sdxt_bwd
+)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1))

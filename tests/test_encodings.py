@@ -210,8 +210,10 @@ class TestStochasticTableGrads:
         np.testing.assert_allclose(np.asarray(dx_s), np.asarray(dx_e), rtol=1e-6)
 
     def test_position_cotangent_exact(self):
-        """The encode's position cotangent must NOT be sampled — the DDF
-        level-set loss differentiates through termination points."""
+        """By default the encode's position cotangent is NOT sampled — the
+        DDF level-set loss differentiates through termination points.
+        (``stoch_dxt=True`` opts into a sampled cotangent; see
+        ``TestStochasticDxt``.)"""
         enc, table, x = self._enc()
 
         def f_exact(x):
@@ -273,6 +275,126 @@ class TestStochasticTableGrads:
         # shrinking with more salts
         assert err_full < 0.2, (err_half, err_full)
         assert err_full < err_half * 1.05, (err_half, err_full)
+
+
+class TestStochasticDxt:
+    """``stoch_dxt=True`` (``_level_encode_stoch_sdxt``): exact forward,
+    table gradient bit-identical to the ``stoch_salt`` path (same corner
+    draw), and an UNBIASED 1-corner position cotangent replacing the exact
+    8-corner backward re-gather."""
+
+    def _enc(self):
+        cfg = HashGridConfig(
+            num_levels=3, features_per_level=2, log2_hashmap_size=10,
+            base_res=4, max_res=16,
+        )
+        enc = HashGridEncoding(cfg)
+        table = enc.init(jax.random.PRNGKey(0))
+        x = jax.random.uniform(jax.random.PRNGKey(1), (64, 3))
+        return enc, table, x
+
+    def test_forward_exact(self):
+        enc, table, x = self._enc()
+        exact = enc(table, x, custom_take=True)
+        out = enc(
+            table, x, custom_take=True, stoch_salt=jnp.uint32(99), stoch_dxt=True
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(exact), rtol=1e-6)
+
+    def test_table_grad_bitmatched(self):
+        """Same salt ⇒ the table cotangent is IDENTICAL to the plain
+        stoch_salt path (the dxt sampling must not perturb the table draw)."""
+        enc, table, x = self._enc()
+        salt = jnp.uint32(4242)
+
+        def loss(tbl, dxt):
+            return jnp.sum(
+                enc(tbl, x, custom_take=True, stoch_salt=salt, stoch_dxt=dxt) ** 2
+            )
+
+        g_plain = jax.grad(lambda t: loss(t, False))(table)
+        g_sdxt = jax.grad(lambda t: loss(t, True))(table)
+        np.testing.assert_array_equal(np.asarray(g_plain), np.asarray(g_sdxt))
+
+    def test_position_cotangent_unbiased(self):
+        enc, table, x = self._enc()
+
+        def gx(salt, dxt):
+            def f(xx):
+                return jnp.sum(
+                    jnp.sin(
+                        enc(
+                            table, xx, custom_take=True,
+                            stoch_salt=salt, stoch_dxt=dxt,
+                        )
+                    )
+                )
+
+            return jax.grad(f)(x)
+
+        g_exact = gx(jnp.uint32(0), False)
+        salts = jnp.asarray(
+            (np.arange(2400, dtype=np.uint64) * 2654435761 + 13) % (2**32),
+            jnp.uint32,
+        )
+        g_all = jax.jit(jax.vmap(lambda s: gx(s, True)))(salts)
+        ref = np.asarray(g_exact)
+        denom = np.abs(ref).max()
+        err_half = np.abs(np.asarray(jnp.mean(g_all[:1200], 0)) - ref).max() / denom
+        err_full = np.abs(np.asarray(jnp.mean(g_all, 0)) - ref).max() / denom
+        # unbiased: error small and shrinking as more salts are averaged
+        assert err_full < 0.2, (err_half, err_full)
+        assert err_full < err_half * 1.05, (err_half, err_full)
+
+    def test_field_config_threads_flag(self):
+        """SDFAlbedoFieldConfig.stochastic_dxt reaches the encode: sdf_only's
+        forward value is unchanged and its position gradient becomes the
+        sampled estimator (different from exact for a single salt)."""
+        from neusky_tpu.fields.sdf_albedo import SDFAlbedoField, SDFAlbedoFieldConfig
+
+        base = dict(
+            num_layers=1, hidden_dim=16, geo_feat_dim=8, num_layers_color=1,
+            hidden_dim_color=16,
+            hash=HashGridConfig(
+                num_levels=3, features_per_level=2, log2_hashmap_size=10,
+                base_res=4, max_res=16,
+            ),
+        )
+        f_exact = SDFAlbedoField(SDFAlbedoFieldConfig(**base))
+        f_sdxt = SDFAlbedoField(SDFAlbedoFieldConfig(stochastic_dxt=True, **base))
+        x = jax.random.uniform(jax.random.PRNGKey(2), (32, 3)) * 2.0 - 1.0
+        params = f_exact.init(jax.random.PRNGKey(0), x)
+        # the geometric init ZEROES the geo-MLP weights on the hash-feature
+        # columns, making the encode's output cotangent (and thus any
+        # exact/sampled dxt difference) vanish at init — perturb away from it
+        leaves, treedef = jax.tree_util.tree_flatten(params)
+        keys = jax.random.split(jax.random.PRNGKey(5), len(leaves))
+        params = jax.tree_util.tree_unflatten(
+            treedef,
+            [
+                l + 0.05 * jax.random.normal(k, l.shape, l.dtype)
+                if jnp.issubdtype(l.dtype, jnp.floating)
+                else l
+                for l, k in zip(leaves, keys)
+            ],
+        )
+        salt = jnp.uint32(77)
+
+        sdf_e = f_exact.apply(params, x, salt, method=f_exact.sdf_only)
+        sdf_s = f_sdxt.apply(params, x, salt, method=f_sdxt.sdf_only)
+        np.testing.assert_allclose(
+            np.asarray(sdf_s), np.asarray(sdf_e), rtol=1e-6, atol=1e-7
+        )
+
+        def gpos(field):
+            def f(xx):
+                return jnp.sum(field.apply(params, xx, salt, method=field.sdf_only))
+
+            return jax.grad(f)(x)
+
+        g_e = np.asarray(gpos(f_exact))
+        g_s = np.asarray(gpos(f_sdxt))
+        assert not np.allclose(g_s, g_e), "flag did not reach the encode"
 
 
 class TestVectorizedLevels:
