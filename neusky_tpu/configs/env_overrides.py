@@ -13,6 +13,8 @@ same knobs), so that an A/B pair differs only in its environment:
   instead of stochastic-corner.
 - ``NEUSKY_STOCH_DXT={0,1}``     — stochastic 1-corner position cotangent
   in the sdf-level-set encode backward (vs the exact 8-corner re-gather).
+- ``NEUSKY_BF16_MAPPING={0,1}``  — bf16 FiLM mapping network (matmuls AND
+  materialised freqs/phases; sin arguments stay f32).
 - ``NEUSKY_VECTORIZED={0,1}``    — all-levels-in-one vs per-level hash
   encode ops (measured slower on v5e — transposed layouts; see PERF.md).
 
@@ -48,6 +50,17 @@ def apply_env_knobs(cfg):
         cfg = dataclasses.replace(
             cfg,
             sdf_field=dataclasses.replace(cfg.sdf_field, stochastic_table_grads=False),
+        )
+    if os.environ.get("NEUSKY_BF16_MAPPING", "") != "":
+        on = os.environ["NEUSKY_BF16_MAPPING"].strip().lower() not in (
+            "0", "false", "off", "no",
+        )
+        cfg = dataclasses.replace(
+            cfg,
+            ddf=dataclasses.replace(
+                cfg.ddf,
+                field=dataclasses.replace(cfg.ddf.field, use_bf16_mapping=on),
+            ),
         )
     if os.environ.get("NEUSKY_STOCH_DXT", "") != "":
         on = os.environ["NEUSKY_STOCH_DXT"].strip().lower() not in (
@@ -92,6 +105,7 @@ def knob_summary() -> dict:
         "NEUSKY_EXACT_PROPOSAL_FWD",
         "NEUSKY_EXACT_TABLE_GRADS",
         "NEUSKY_STOCH_DXT",
+        "NEUSKY_BF16_MAPPING",
         "NEUSKY_VECTORIZED",
     )
     return {k: os.environ[k] for k in keys if os.environ.get(k, "") != ""}

@@ -57,6 +57,12 @@ class DDFFieldConfig:
     first_omega_0: float = 30.0
     hidden_omega_0: float = 30.0
     use_bf16_compute: bool = True  # MXU bf16 matmuls, fp32 params/accum
+    use_bf16_mapping: bool = False
+    """bf16 matmuls AND bf16 materialised (freqs, phases) in the FiLM
+    mapping network.  The mapping head output is the fattest tensor in the
+    visibility chunk loop ([chunk, 2·film·hidden] — f32 was 335 MB per 32k
+    chunk, r3 trace); sin arguments stay f32 (upcast fused per layer).
+    A/B: ``NEUSKY_BF16_MAPPING``."""
 
 
 def _activation(name: str):
@@ -105,6 +111,7 @@ class DirectionalDistanceField(nn.Module):
                 out_dim=out_features,
                 outermost_linear=True,
                 compute_dtype=jnp.bfloat16 if c.use_bf16_compute else None,
+                mapping_compute_dtype=jnp.bfloat16 if c.use_bf16_mapping else None,
             )
         elif c.conditioning == "Attention":
             self.net = TransformerDecoder(

@@ -116,14 +116,23 @@ class Siren(nn.Module):
 
 class MappingNetwork(nn.Module):
     """FiLM conditioning mapping network (``siren.py:108-132``): LeakyReLU(0.2)
-    MLP emitting concatenated (frequencies, phase_shifts)."""
+    MLP emitting concatenated (frequencies, phase_shifts).
+
+    ``compute_dtype=bfloat16``: matmul INPUTS in bf16 with fp32 params and
+    fp32 accumulation, and the (freqs, phases) OUTPUTS are returned in bf16
+    too — in the DDF visibility loop the mapping head output is the fattest
+    materialised tensor ([chunk, 2·film·hidden] — f32 was 335 MB per 32k
+    chunk, r3 trace) and halving it halves the loop's dominant HBM traffic.
+    Consumers upcast to f32 inside their fusion before the sin modulation."""
 
     hidden_layers: int
     hidden_features: int
     out_dim: int  # = 2 * n_film_layers * siren_hidden_features
+    compute_dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, z: jnp.ndarray):
+        cdt = self.compute_dtype
         x = z
         for i in range(self.hidden_layers):
             in_dim = x.shape[-1]
@@ -133,7 +142,13 @@ class MappingNetwork(nn.Module):
                 lambda r, s, fi=in_dim: _torch_bias_init(r, s, fan_in=fi),
                 (self.hidden_features,),
             )
-            x = jax.nn.leaky_relu(jnp.dot(x, w, preferred_element_type=jnp.float32) + b, 0.2)
+            if cdt is not None:
+                lin = jnp.dot(
+                    x.astype(cdt), w.astype(cdt), preferred_element_type=jnp.float32
+                ) + b
+            else:
+                lin = jnp.dot(x, w, preferred_element_type=jnp.float32) + b
+            x = jax.nn.leaky_relu(lin, 0.2)
         in_dim = x.shape[-1]
         w = self.param(
             "kernel_out",
@@ -143,7 +158,13 @@ class MappingNetwork(nn.Module):
         b = self.param(
             "bias_out", lambda r, s: _torch_bias_init(r, s, fan_in=in_dim), (self.out_dim,)
         )
-        out = jnp.dot(x, w, preferred_element_type=jnp.float32) + b
+        if cdt is not None:
+            out = jnp.dot(
+                x.astype(cdt), w.astype(cdt), preferred_element_type=jnp.float32
+            ) + b
+            out = out.astype(cdt)
+        else:
+            out = jnp.dot(x, w, preferred_element_type=jnp.float32) + b
         freqs, phases = jnp.split(out, 2, axis=-1)
         return freqs, phases
 
@@ -168,6 +189,9 @@ class FiLMSiren(nn.Module):
     outermost_linear: bool = True
     out_activation: Optional[Callable] = None
     compute_dtype: Optional[jnp.dtype] = None
+    mapping_compute_dtype: Optional[jnp.dtype] = None  # A/B'd separately —
+    # bf16 here also shrinks the materialised (freqs, phases) tensors, the
+    # dominant HBM traffic of the visibility loop (r3 trace)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, conditioning_input: jnp.ndarray) -> jnp.ndarray:
@@ -176,8 +200,8 @@ class FiLMSiren(nn.Module):
             hidden_layers=self.mapping_network_layers,
             hidden_features=self.mapping_network_features,
             out_dim=2 * n_film * self.hidden_features,
+            compute_dtype=self.mapping_compute_dtype,
         )(conditioning_input)
-        freqs = freqs * 15.0 + 30.0  # ``siren.py:200``
 
         cdt = self.compute_dtype
         h = x
@@ -196,8 +220,13 @@ class FiLMSiren(nn.Module):
                 ) + b
             else:
                 lin = jnp.dot(h, w, preferred_element_type=jnp.float32) + b
+            # slice THEN upcast: the affine+upcast fuses into the sin
+            # consumer per layer, so the materialised mapping output stays
+            # bf16 while the sin ARGUMENT is computed in f32 (``siren.py:200``)
             f = freqs[..., i * self.hidden_features : (i + 1) * self.hidden_features]
             p = phases[..., i * self.hidden_features : (i + 1) * self.hidden_features]
+            f = f.astype(jnp.float32) * 15.0 + 30.0
+            p = p.astype(jnp.float32)
             h = jnp.sin(f * lin + p)
 
         in_dim = h.shape[-1]

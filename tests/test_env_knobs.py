@@ -18,7 +18,8 @@ def test_defaults_untouched():
     clean = {
         k: "" for k in (
             "NEUSKY_BENCH_BF16", "NEUSKY_VIS_CHUNK", "NEUSKY_EXACT_PROPOSAL_FWD",
-            "NEUSKY_EXACT_TABLE_GRADS", "NEUSKY_STOCH_DXT", "NEUSKY_VECTORIZED",
+            "NEUSKY_EXACT_TABLE_GRADS", "NEUSKY_STOCH_DXT",
+            "NEUSKY_BF16_MAPPING", "NEUSKY_VECTORIZED",
         )
     }
     cfg = _cfg(**clean)
@@ -37,6 +38,8 @@ def test_each_knob_reaches_its_field():
     assert not _cfg(NEUSKY_EXACT_TABLE_GRADS="1").sdf_field.stochastic_table_grads
     assert _cfg(NEUSKY_STOCH_DXT="1").sdf_field.stochastic_dxt
     assert not _cfg(NEUSKY_STOCH_DXT="0").sdf_field.stochastic_dxt
+    assert _cfg(NEUSKY_BF16_MAPPING="1").ddf.field.use_bf16_mapping
+    assert not _cfg(NEUSKY_BF16_MAPPING="0").ddf.field.use_bf16_mapping
     vec = _cfg(NEUSKY_VECTORIZED="1")
     assert vec.sdf_field.hash.vectorized
     assert all(p.hash.vectorized for p in vec.proposal_fields)

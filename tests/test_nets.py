@@ -81,6 +81,30 @@ def test_film_siren():
     assert not np.allclose(y, y2)
 
 
+def test_film_siren_bf16_mapping_close_to_fp32():
+    """bf16 mapping (matmuls + materialised freqs/phases) must stay a small
+    perturbation of the fp32 reference: params fp32, accumulation fp32, sin
+    arguments computed in f32 after a fused upcast."""
+    import jax.numpy as jnp
+
+    kw = dict(
+        hidden_layers=3, hidden_features=32,
+        mapping_network_layers=2, mapping_network_features=32,
+        out_dim=1,
+    )
+    fs32 = FiLMSiren(**kw)
+    fs16 = FiLMSiren(mapping_compute_dtype=jnp.bfloat16, **kw)
+    x = jax.random.normal(jax.random.PRNGKey(0), (64, 7))
+    c = jax.random.normal(jax.random.PRNGKey(1), (64, 5))
+    params = fs32.init(jax.random.PRNGKey(2), x, c)
+    y32 = np.asarray(fs32.apply(params, x, c))
+    y16 = np.asarray(fs16.apply(params, x, c))
+    assert y16.dtype == np.float32  # head output stays fp32
+    scale = np.abs(y32).max()
+    assert np.abs(y16 - y32).max() / scale < 0.15, np.abs(y16 - y32).max() / scale
+    assert not np.array_equal(y16, y32)  # the knob actually changed compute
+
+
 def test_transformer_decoder():
     dec = TransformerDecoder(hidden_features=32, num_heads=4, num_layers=2, out_dim=3)
     x = jax.random.normal(jax.random.PRNGKey(0), (8, 6))
