@@ -115,6 +115,7 @@ def load_param_subtrees(
     params: Dict[str, Any],
     include: Tuple[str, ...] = (),
     exclude: Tuple[str, ...] = (),
+    reinit_on_mismatch: Tuple[str, ...] = ("eval_latents",),
 ) -> Dict[str, Any]:
     """Surgical restore: merge selected top-level groups from a checkpoint
     into ``params``.
@@ -124,7 +125,15 @@ def load_param_subtrees(
     - model-minus-visibility: ``exclude=("ddf_field",)``
       (``neusky_pipeline.py:185-190``);
     - DDF standalone: ``include=("ddf_field",)``.
-    """
+
+    Shape safety: a subtree whose restored leaf shapes/structure disagree
+    with ``params`` raises a clear error — EXCEPT subtrees listed in
+    ``reinit_on_mismatch``, which keep the (fresh) template instead.  The
+    default covers ``eval_latents``: per-image fitted variables sized by the
+    eval split (baked into ``init``), which the eval loop zeroes and refits
+    anyway — a checkpoint trained against one eval set must stay evaluable
+    against another (reference re-creates eval latents per eval set,
+    ``neusky_model.py:262-270``)."""
     if step is None:
         step = latest_step(base)
     ckptr = ocp.PyTreeCheckpointer()
@@ -143,6 +152,38 @@ def load_param_subtrees(
     out = dict(params)
     keys = include if include else tuple(k for k in src.keys() if k not in exclude)
     for k in keys:
-        if k in src:
-            out[k] = jax.tree_util.tree_map(np.asarray, src[k])
+        if k not in src:
+            continue
+        sub = jax.tree_util.tree_map(np.asarray, src[k])
+        mismatch = _subtree_mismatch(params.get(k), sub) if k in params else None
+        if mismatch is not None:
+            if k in reinit_on_mismatch:
+                import sys
+
+                print(
+                    f"checkpoint subtree '{k}' shape-mismatches the model "
+                    f"({mismatch}) — keeping the fresh template (it is refit "
+                    "by the eval loop)",
+                    file=sys.stderr,
+                )
+                continue
+            raise ValueError(
+                f"checkpoint subtree '{k}' does not match the model: {mismatch}"
+            )
+        out[k] = sub
     return out
+
+
+def _subtree_mismatch(target, restored) -> Optional[str]:
+    """None if ``restored`` matches ``target`` in structure and leaf shapes,
+    else a human-readable description of the first difference."""
+    t_leaves, t_def = jax.tree_util.tree_flatten(target)
+    r_leaves, r_def = jax.tree_util.tree_flatten(restored)
+    if t_def != r_def:
+        return f"tree structure {r_def} != expected {t_def}"
+    for tl, rl in zip(t_leaves, r_leaves):
+        ts = getattr(tl, "shape", None)
+        rs = getattr(rl, "shape", None)
+        if ts != rs:
+            return f"leaf shape {rs} != expected {ts}"
+    return None

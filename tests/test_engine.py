@@ -58,6 +58,55 @@ def test_checkpoint_subtree_restore(tmp_path):
     assert np.allclose(out2["ddf_field"]["w"], 0.0)
 
 
+def test_checkpoint_eval_latents_resize(tmp_path):
+    """A checkpoint trained against one eval split must stay loadable for a
+    DIFFERENT-sized eval set: the mismatched ``eval_latents`` subtree keeps
+    the fresh template (refit by the eval loop, reference
+    ``neusky_model.py:262-270``); any OTHER mismatched subtree fails loudly."""
+    import pytest
+
+    params = {
+        "fields": {"w": jnp.ones((3,))},
+        "eval_latents": {
+            "eval_latents": jnp.ones((2, 4, 3)),
+            "eval_scale": jnp.ones((2,)),
+        },
+    }
+    save_checkpoint(tmp_path, 1, params, {"opt": jnp.zeros(1)})
+
+    # same shapes: eval latents restore normally
+    same = {
+        "fields": {"w": jnp.zeros((3,))},
+        "eval_latents": {
+            "eval_latents": jnp.zeros((2, 4, 3)),
+            "eval_scale": jnp.zeros((2,)),
+        },
+    }
+    out = load_param_subtrees(tmp_path, 1, same)
+    assert np.allclose(out["eval_latents"]["eval_latents"], 1.0)
+
+    # different eval-set size: template kept, rest restored
+    bigger = {
+        "fields": {"w": jnp.zeros((3,))},
+        "eval_latents": {
+            "eval_latents": jnp.zeros((5, 4, 3)),
+            "eval_scale": jnp.zeros((5,)),
+        },
+    }
+    out = load_param_subtrees(tmp_path, 1, bigger)
+    assert out["eval_latents"]["eval_latents"].shape == (5, 4, 3)
+    assert np.allclose(out["eval_latents"]["eval_latents"], 0.0)
+    assert np.allclose(out["fields"]["w"], 1.0)
+
+    # a mismatch anywhere else is an ERROR, not a silent wrong-shape merge
+    broken = {
+        "fields": {"w": jnp.zeros((7,))},
+        "eval_latents": dict(same["eval_latents"]),
+    }
+    with pytest.raises(ValueError, match="fields"):
+        load_param_subtrees(tmp_path, 1, broken)
+
+
 def test_eval_latent_optimizer_scale_only():
     """``optimise_compare_eval_scale`` (``neusky_model.py:1511-1514``):
     scale_only masks latent updates to zero, scale still moves."""
