@@ -76,14 +76,27 @@ def load_checkpoint(
     return restored["params"], restored["opt_state"], restored["step"]
 
 
-def load_illumination_prior(params: Dict[str, Any], model_config) -> Dict[str, Any]:
+def load_illumination_prior(
+    params: Dict[str, Any], model_config, init_latent: bool = True
+) -> Dict[str, Any]:
     """Restore the frozen RENI++ decoder from the configured trained prior
     (reference ``neusky_model.py:272-300``: pretrained decoder load,
     mu/logvar excluded).  EVERY training entry point must call this after
     ``model.init`` — round-2 bug: ``tools/train_sanity.py`` skipped it and a
     20k-step validation silently trained against a RANDOM frozen decoder
     (sky unfittable, PSNR plateau ~10).  No-op when unconfigured; loud
-    warning when configured but missing."""
+    warning when configured but missing.
+
+    ``init_latent``: when the prior ships an ``init_latent.npz``
+    (``tools/fit_prior_init_latent.py``), broadcast it into
+    ``train_latents`` / ``eval_latents``.  The reference zero-inits the
+    latents (``neusky_model.py:261-263``) and relies on its *variational*
+    prior decoding z=0 to a mean sky (ckpt carries train_mu/train_logvar,
+    ``neusky_model.py:288-293``); the in-framework autodecoder prior is
+    unregularised, so z=0 decodes out-of-domain (exp(log_domain_max) ≈
+    3000 linear) and the sky loss starts on a saturated flat plateau —
+    r3 diagnosis, ``tools/probe_sky_fit.py``.  Initialising at the fitted
+    mean-sky latent restores the reference's effective init semantics."""
     prior_dir = getattr(model_config, "illumination_prior_dir", None)
     if not prior_dir:
         return params
@@ -106,6 +119,32 @@ def load_illumination_prior(params: Dict[str, Any], model_config) -> Dict[str, A
     )
     # stderr: callers like bench.py promise a single-JSON-line stdout
     print(f"loaded RENI++ prior decoder from {path}", file=sys.stderr)
+    init_file = path / "init_latent.npz"
+    if init_latent and init_file.exists():
+        z0 = np.load(init_file)["latent"]  # [latent_dim, 3]
+        import jax.numpy as jnp
+
+        def seed_latents(group, key):
+            cur = group[key]
+            if cur.shape[1:] != z0.shape:
+                print(
+                    f"WARNING: init_latent shape {z0.shape} != {key} slot "
+                    f"shape {cur.shape[1:]} — keeping zero init",
+                    file=sys.stderr,
+                )
+                return group
+            group = dict(group)
+            group[key] = jnp.broadcast_to(
+                jnp.asarray(z0, cur.dtype)[None], cur.shape
+            )
+            return group
+
+        params = dict(params)
+        params["illumination_field"] = seed_latents(
+            params["illumination_field"], "train_latents"
+        )
+        params["eval_latents"] = seed_latents(params["eval_latents"], "eval_latents")
+        print(f"seeded sky latents from {init_file}", file=sys.stderr)
     return params
 
 

@@ -156,6 +156,61 @@ def test_load_illumination_prior(tmp_path):
     assert np.allclose(out2["illumination_decoder"]["w"], 0.0)
 
 
+def test_load_illumination_prior_seeds_init_latent(tmp_path):
+    """When the prior ships ``init_latent.npz`` (fit by
+    ``tools/fit_prior_init_latent.py``), train/eval latents are seeded with
+    it instead of zeros.  Restores the reference's effective init semantics
+    (``neusky_model.py:261-263`` zero-init works there because the
+    *variational* RENI++ prior decodes z=0 to a mean sky; the in-framework
+    autodecoder prior decodes z=0 out-of-domain — r3 convergence diagnosis,
+    sky loss bit-flat for 800 steps)."""
+    import dataclasses
+
+    from neusky_tpu.engine.checkpoint import load_illumination_prior
+
+    prior_params = {"illumination_decoder": {"w": jnp.full((2,), 9.0)}}
+    save_checkpoint(tmp_path / "prior", 5, prior_params, {"o": jnp.zeros(1)})
+    z0 = np.arange(12, dtype=np.float32).reshape(4, 3)
+    np.savez(tmp_path / "prior" / "init_latent.npz", latent=z0)
+
+    @dataclasses.dataclass
+    class Cfg:
+        illumination_prior_dir: str = str(tmp_path / "prior")
+
+    def fresh():
+        return {
+            "illumination_decoder": {"w": jnp.zeros((2,))},
+            "illumination_field": {
+                "train_latents": jnp.zeros((3, 4, 3)),
+                "train_scale": jnp.ones((3,)),
+            },
+            "eval_latents": {
+                "eval_latents": jnp.zeros((2, 4, 3)),
+                "eval_scale": jnp.ones((2,)),
+            },
+        }
+
+    out = load_illumination_prior(fresh(), Cfg())
+    assert np.allclose(out["illumination_field"]["train_latents"],
+                       np.broadcast_to(z0, (3, 4, 3)))
+    assert np.allclose(out["eval_latents"]["eval_latents"],
+                       np.broadcast_to(z0, (2, 4, 3)))
+    # scales untouched; decoder still restored
+    assert np.allclose(out["illumination_field"]["train_scale"], 1.0)
+    assert np.allclose(out["illumination_decoder"]["w"], 9.0)
+
+    # opt-out (e.g. the fit tool itself must see the raw decoder)
+    out2 = load_illumination_prior(fresh(), Cfg(), init_latent=False)
+    assert np.allclose(out2["illumination_field"]["train_latents"], 0.0)
+
+    # shape mismatch → loud no-op on the latents, decoder still loads
+    np.savez(tmp_path / "prior" / "init_latent.npz",
+             latent=np.ones((7, 3), np.float32))
+    out3 = load_illumination_prior(fresh(), Cfg())
+    assert np.allclose(out3["illumination_field"]["train_latents"], 0.0)
+    assert np.allclose(out3["illumination_decoder"]["w"], 9.0)
+
+
 def test_writer(tmp_path):
     w = Writer(str(tmp_path))
     w.write_scalars(1, {"loss": 0.5})
