@@ -17,6 +17,10 @@ same knobs), so that an A/B pair differs only in its environment:
   materialised freqs/phases; sin arguments stay f32).
 - ``NEUSKY_VECTORIZED={0,1}``    — all-levels-in-one vs per-level hash
   encode ops (measured slower on v5e — transposed layouts; see PERF.md).
+- ``NEUSKY_DDF_ENCODING={nerf,hash}`` — DDF position encoding; the
+  reference uses hash (``neusky/configs/neusky_config.py:162-177``), the
+  framework default is nerf frequency (the hash DDF adds ~33M scatter
+  rows/step — measured ≫10× joint-step cost; PERF.md r3).
 
 Reference step semantics being benchmarked:
 ``/root/reference/neusky/pipelines/neusky_pipeline.py:240-291``.
@@ -69,6 +73,17 @@ def apply_env_knobs(cfg):
         cfg = dataclasses.replace(
             cfg, sdf_field=dataclasses.replace(cfg.sdf_field, stochastic_dxt=on)
         )
+    if os.environ.get("NEUSKY_DDF_ENCODING", ""):
+        cfg = dataclasses.replace(
+            cfg,
+            ddf=dataclasses.replace(
+                cfg.ddf,
+                field=dataclasses.replace(
+                    cfg.ddf.field,
+                    position_encoding_type=os.environ["NEUSKY_DDF_ENCODING"],
+                ),
+            ),
+        )
     if os.environ.get("NEUSKY_VECTORIZED", "") != "":
         from neusky_tpu.ops.hashgrid import HashGridConfig
 
@@ -107,5 +122,6 @@ def knob_summary() -> dict:
         "NEUSKY_STOCH_DXT",
         "NEUSKY_BF16_MAPPING",
         "NEUSKY_VECTORIZED",
+        "NEUSKY_DDF_ENCODING",
     )
     return {k: os.environ[k] for k in keys if os.environ.get(k, "") != ""}

@@ -18,12 +18,18 @@ GRACE_S=${GRACE_S:-1200}   # allowance for compile+restore before first log
                            # segments — train_sanity now also uses the
                            # persistent compile cache so resumes are fast)
 COOLDOWN=${COOLDOWN:-90}   # tunnel lease release between processes
+LOG_EVERY=${LOG_EVERY:-100}  # heartbeat steps; keep LOG_EVERY*s_per_step
+                             # WELL below STALE_S (hash-DDF steps run >3 s
+                             # — 100-step heartbeat outlived the 300 s
+                             # window and the watchdog killed healthy
+                             # segments at ~step 95, before the first
+                             # checkpoint: futile restart-from-zero loop)
 
 for attempt in $(seq 1 60); do
   # log every 100 steps: the staleness watchdog needs a heartbeat faster
   # than STALE_S even when steps run slow (a 250-step interval at >1.2 s/step
   # outlives a 300 s window and the watchdog kills a HEALTHY run)
-  python tools/train_sanity.py "$TOTAL" 100 \
+  python tools/train_sanity.py "$TOTAL" "$LOG_EVERY" \
     --out "$OUT" --ckpt-dir "$CKPT" --resume \
     --segment-steps "$SEG" --ckpt-every 500 "$@" &
   pid=$!
