@@ -72,7 +72,17 @@ def main():
     from neusky_tpu.parallel.mesh import make_train_step_split
     from neusky_tpu.sampling.ddf_sampler import DDFSamplerConfig
 
-    from neusky_tpu.configs.env_overrides import apply_env_knobs, knob_summary
+    from neusky_tpu.configs.env_overrides import (
+        apply_env_knobs,
+        effective_summary,
+        knob_summary,
+    )
+
+    # bench measures with the bf16 FiLM mapping ON (+5.5% throughput,
+    # quiet-box r3 A/B) while the TRAINING default stays OFF until the
+    # convergence-quality A/B lands (r3 advisor finding; fields/ddf.py).
+    # The effective values are recorded in the output JSON either way.
+    os.environ.setdefault("NEUSKY_BF16_MAPPING", "1")
 
     # A/B knobs for perf experiments (no code edits between runs) — shared
     # with tools/train_sanity.py so bench and training A/Bs see one config
@@ -222,6 +232,7 @@ def main():
     knobs = knob_summary()
     if knobs:
         out["knobs"] = knobs
+    out["effective"] = effective_summary(cfg)
     # contamination guards: a loaded box (anything beyond this process on a
     # 1-core machine) or unstable loop rates mean the number is not a real
     # device-throughput measurement — say so in the JSON rather than letting

@@ -125,3 +125,24 @@ def knob_summary() -> dict:
         "NEUSKY_DDF_ENCODING",
     )
     return {k: os.environ[k] for k in keys if os.environ.get(k, "") != ""}
+
+
+def effective_summary(cfg) -> dict:
+    """RESOLVED config values for the knob-controlled settings, for result
+    JSON provenance.  Env knobs record only what was *set*; after a config
+    default changes, the absence of a knob in an old result file means the
+    OLD default — recording the effective values removes that ambiguity
+    (r3 advisor finding)."""
+    return {
+        "sdf_bf16_compute": bool(cfg.sdf_field.use_bf16_compute),
+        "ddf_bf16_compute": bool(cfg.ddf.field.use_bf16_compute),
+        "ddf_bf16_mapping": bool(cfg.ddf.field.use_bf16_mapping),
+        "visibility_query_chunk": int(cfg.visibility_query_chunk),
+        "proposal_stochastic_forward": [
+            bool(p.stochastic_forward) for p in cfg.proposal_fields
+        ],
+        "sdf_stochastic_table_grads": bool(cfg.sdf_field.stochastic_table_grads),
+        "sdf_stochastic_dxt": bool(cfg.sdf_field.stochastic_dxt),
+        "ddf_position_encoding": cfg.ddf.field.position_encoding_type,
+        "sdf_hash_vectorized": bool(cfg.sdf_field.hash.vectorized),
+    }

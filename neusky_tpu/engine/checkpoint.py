@@ -76,6 +76,32 @@ def load_checkpoint(
     return restored["params"], restored["opt_state"], restored["step"]
 
 
+def prior_init_latent(model_config) -> Optional[np.ndarray]:
+    """The shipped prior's fitted mean-sky latent ``z*`` ([latent_dim, 3]),
+    or None when the configured prior ships no ``init_latent.npz``.
+
+    This is the latent every latent-fit should START from: the reference
+    zero-inits its latents (``neusky_model.py:261-263, 1537-1540``) and
+    relies on its *variational* prior decoding z=0 to a mean sky; the
+    in-framework autodecoder prior is unregularised, so z=0 decodes
+    out-of-domain (exp(log_domain_max) ≈ 3000 linear) and any fit through
+    the clipped sRGB render path starts on a saturated flat plateau
+    (r3 diagnosis, ``tools/probe_sky_fit.py``).  Seeding at z* restores
+    the reference's effective init semantics for BOTH training and
+    test-time eval fits."""
+    prior_dir = getattr(model_config, "illumination_prior_dir", None)
+    if not prior_dir:
+        return None
+    path = Path(prior_dir)
+    if not path.is_absolute():
+        repo_root = Path(__file__).resolve().parent.parent.parent
+        path = repo_root / path
+    init_file = path / "init_latent.npz"
+    if not init_file.exists():
+        return None
+    return np.load(init_file)["latent"]  # [latent_dim, 3]
+
+
 def load_illumination_prior(
     params: Dict[str, Any], model_config, init_latent: bool = True
 ) -> Dict[str, Any]:
@@ -119,9 +145,8 @@ def load_illumination_prior(
     )
     # stderr: callers like bench.py promise a single-JSON-line stdout
     print(f"loaded RENI++ prior decoder from {path}", file=sys.stderr)
-    init_file = path / "init_latent.npz"
-    if init_latent and init_file.exists():
-        z0 = np.load(init_file)["latent"]  # [latent_dim, 3]
+    z0 = prior_init_latent(model_config) if init_latent else None
+    if z0 is not None:
         import jax.numpy as jnp
 
         def seed_latents(group, key):
@@ -144,7 +169,7 @@ def load_illumination_prior(
             params["illumination_field"], "train_latents"
         )
         params["eval_latents"] = seed_latents(params["eval_latents"], "eval_latents")
-        print(f"seeded sky latents from {init_file}", file=sys.stderr)
+        print(f"seeded sky latents from {path / 'init_latent.npz'}", file=sys.stderr)
     return params
 
 

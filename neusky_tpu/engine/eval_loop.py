@@ -147,10 +147,22 @@ def fit_eval_latents(
     host_loop: bool = False,
     batch_fn=None,
     scale_only: bool = False,
+    init_latent="auto",
 ):
-    """Test-time latent optimisation: resets eval latents to zero / scales
-    to one, then ``steps`` Adam updates on the sky+RGB losses with the
-    decoder frozen (``neusky_model.py:1503-1588``).
+    """Test-time latent optimisation: resets eval latents / scales to one,
+    then ``steps`` Adam updates on the sky+RGB losses with the decoder
+    frozen (``neusky_model.py:1503-1588``).
+
+    Latent reset value: the reference resets to ZERO
+    (``neusky_model.py:1537-1540``) — valid only because its published
+    RENI++ prior is *variational* (z=0 decodes to a mean sky).  The
+    in-framework autodecoder prior decodes z=0 out-of-domain (saturated
+    sky, provably flat fit loss — r3 diagnosis, ``tools/probe_sky_fit.py``),
+    so the reset value here is the prior's fitted mean-sky latent
+    ``init_latent.npz`` (``engine.checkpoint.prior_init_latent``), the same
+    seed training starts from.  ``init_latent``: "auto" resolves from
+    ``model.config.illumination_prior_dir``; pass an explicit [D, 3] array
+    or None (zeros — reference-exact, for variational priors).
 
     Default path: all ``steps`` pixel batches are pre-sampled on host,
     stacked, and the whole Adam loop runs as ONE jitted ``lax.scan`` —
@@ -164,8 +176,18 @@ def fit_eval_latents(
     the session-holdout pool (``neusky_datamanager.py:309-329``)."""
     if batch_fn is None:
         batch_fn = lambda: datamanager.eval_latent_batch(image_idx, sample_region)
+    if isinstance(init_latent, str) and init_latent == "auto":
+        from neusky_tpu.engine.checkpoint import prior_init_latent
+
+        init_latent = prior_init_latent(model.config)
     eval_g = dict(params["eval_latents"])
-    eval_g["eval_latents"] = jnp.zeros_like(eval_g["eval_latents"])
+    cur = eval_g["eval_latents"]
+    if init_latent is not None and np.asarray(init_latent).shape == cur.shape[1:]:
+        eval_g["eval_latents"] = jnp.broadcast_to(
+            jnp.asarray(init_latent, cur.dtype)[None], cur.shape
+        )
+    else:
+        eval_g["eval_latents"] = jnp.zeros_like(cur)
     eval_g["eval_scale"] = jnp.ones_like(eval_g["eval_scale"])
     params = {**params, "eval_latents": eval_g}
 

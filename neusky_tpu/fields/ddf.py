@@ -57,13 +57,16 @@ class DDFFieldConfig:
     first_omega_0: float = 30.0
     hidden_omega_0: float = 30.0
     use_bf16_compute: bool = True  # MXU bf16 matmuls, fp32 params/accum
-    use_bf16_mapping: bool = True
+    use_bf16_mapping: bool = False
     """bf16 matmuls AND bf16 materialised (freqs, phases) in the FiLM
     mapping network.  The mapping head output is the fattest tensor in the
     visibility chunk loop ([chunk, 2·film·hidden] — f32 was 335 MB per 32k
     chunk, r3 trace); sin arguments stay f32 (upcast fused per layer).
-    Default ON since the clean r3 A/B: 6,012 vs 5,700 rays/s (+5.5%,
-    quiet box, stddev 1.4).  A/B: ``NEUSKY_BF16_MAPPING=0``."""
+    Throughput-validated (+5.5%: 6,012 vs 5,700 rays/s, quiet box, r3) but
+    convergence-quality A/B still pending (r3 advisor finding) — default
+    OFF for training entry points; bench.py enables it via
+    ``NEUSKY_BF16_MAPPING=1`` (perf-only path).  Flip the default once a
+    segmented training A/B shows matched loss/PSNR."""
 
 
 def _activation(name: str):

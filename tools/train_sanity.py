@@ -86,13 +86,20 @@ def main():
 
     import dataclasses
 
-    from neusky_tpu.configs.env_overrides import apply_env_knobs, knob_summary
+    from neusky_tpu.configs.env_overrides import (
+        apply_env_knobs,
+        effective_summary,
+        knob_summary,
+    )
 
     # same env A/B knobs as bench.py (NEUSKY_BENCH_BF16, NEUSKY_EXACT_*, …)
     # so training-dynamics A/Bs run the exact config the bench measures
     cfg = apply_env_knobs(neusky_model_config(num_train_data=8, num_eval_data=2))
-    if knob_summary():
-        print(json.dumps({"env_knobs": knob_summary()}), flush=True)
+    prov = {"env_knobs": knob_summary(), "effective": effective_summary(cfg)}
+    print(json.dumps(prov), flush=True)
+    if args.out:
+        with open(args.out, "a") as f:
+            f.write(json.dumps(prov) + "\n")
     if args.ddf_encoding != cfg.ddf.field.position_encoding_type:
         cfg = dataclasses.replace(
             cfg,
