@@ -37,6 +37,9 @@ class SyntheticSceneConfig:
     ambient: float = 0.35
     sky_colour: tuple = (0.35, 0.55, 0.95)
     focal: float = 0.0  # ≤0 → 0.85 × width (keeps sky visible at any size)
+    angle_offset: float = 0.0
+    """Azimuth offset (radians) of the camera ring — an eval split uses a
+    non-zero offset so its viewpoints are NOVEL w.r.t. the train ring."""
 
     @property
     def focal_px(self) -> float:
@@ -59,7 +62,7 @@ def generate_synthetic_scene(config: SyntheticSceneConfig) -> Dict[str, np.ndarr
     [C,H,W,4] (static, fg, ground, sky), ``depths`` [C,H,W], ``normals``
     [C,H,W,3], and a ``cameras`` object."""
     c = config
-    angles = np.linspace(0, 2 * np.pi, c.num_cameras, endpoint=False)
+    angles = np.linspace(0, 2 * np.pi, c.num_cameras, endpoint=False) + c.angle_offset
     cam_pos = np.stack(
         [
             c.camera_distance * np.cos(angles),
