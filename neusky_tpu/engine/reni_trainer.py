@@ -32,12 +32,31 @@ class RENITrainerConfig:
     field: RENIFieldConfig = RENIFieldConfig(fixed_decoder=False)
     lr: float = 1e-4
     latent_lr: float = 1e-2
-    kl_weight: float = 1e-5
+    kl_weight: float = 3e-3
     num_steps: int = 50000
     pixels_per_step: int = 2048
     steps_per_call: int = 100
     """Adam steps folded into one jitted ``lax.scan`` dispatch."""
     seed: int = 0
+    variational: bool = True
+    """Reparameterised variational autodecoder: per-image (mu, logvar)
+    posteriors, z sampled each step, analytic KL to N(0, I).  The published
+    RENI++ prior is variational (ckpt carries train_mu/train_logvar,
+    excluded at ``neusky_model.py:287-300``) — that is WHY the reference
+    can zero-init its sky latents (``neusky_model.py:261-263, 1537-1540``):
+    z=0 decodes to a mean sky.  The r1-r3 in-framework prior was an
+    unregularised autodecoder (kl_weight 1e-5 on ||z||²), whose z=0
+    decoded out-of-domain and put every zero-init latent fit through the
+    clipped render path on a flat plateau (r3 sky-plateau root cause).
+    ``variational=False`` + kl_weight 1e-5 reproduces the old behaviour."""
+    logvar_init: float = 0.0
+    """Initial per-image log-variance.  0 (std 1) is load-bearing: early
+    posterior samples then overlap heavily at the origin, so the decoder
+    learns a mean sky at z=0 before the posteriors separate.  A tight init
+    (e.g. -4 → std 0.13) never shows the decoder the origin and z=0 stays
+    out-of-domain — measured on the quick corpus: z0-decode PSNR vs corpus
+    mean sky 5.4 dB (lv -4) vs 18.8 dB (lv 0) at kl 3e-3 (r4 CPU sweep,
+    PERF.md)."""
 
 
 class RENITrainer:
@@ -61,15 +80,27 @@ class RENITrainer:
         )
         self.params = {
             "decoder": decoder_params,
+            # "latents" holds the posterior MEANS in variational mode (so
+            # every mean-latent consumer — reconstruction_psnr, gates-only
+            # refits — works identically in both modes)
             "latents": jnp.zeros((b, config.field.latent_dim, 3)),
         }
+        if config.variational:
+            self.params["logvar"] = jnp.full(
+                (b, config.field.latent_dim, 3), config.logvar_init
+            )
+        labels = {
+            "decoder": jax.tree_util.tree_map(lambda _: "decoder", self.params["decoder"]),
+            "latents": "latents",
+        }
+        if config.variational:
+            labels["logvar"] = "latents"
         self.optimizer = optax.multi_transform(
             {
                 "decoder": optax.adam(config.lr),
                 "latents": optax.adam(config.latent_lr),
             },
-            lambda p: {"decoder": jax.tree_util.tree_map(lambda _: "decoder", p["decoder"]),
-                       "latents": "latents"},
+            lambda p: {k: labels[k] for k in p},
         )
         self.opt_state = self.optimizer.init(self.params)
         self.step = 0
@@ -90,19 +121,32 @@ class RENITrainer:
         def loss_fn(params, rng, dirs_all, targets_all):
             # a batch of (image, pixel) pairs — every image's latent trains
             # every step, per-sample latents ride the decoder's [M, D, 3] path
-            k_img, k_pix = jax.random.split(rng)
+            k_img, k_pix, k_eps = jax.random.split(rng, 3)
             img = jax.random.randint(
                 k_img, (cfg.pixels_per_step,), 0, num_images
             )
             pix = jax.random.randint(k_pix, (cfg.pixels_per_step,), 0, n_pix)
             d = dirs_all[pix]
             gt = targets_all[img, pix]
-            z = params["latents"][img]
+            if cfg.variational:
+                mu = params["latents"][img]
+                logvar = params["logvar"][img]
+                eps = jax.random.normal(k_eps, mu.shape)
+                z = mu + eps * jnp.exp(0.5 * logvar)
+                # analytic KL(N(mu, sigma²) || N(0, I)), mean over dims
+                kl = -0.5 * jnp.mean(
+                    1.0
+                    + params["logvar"]
+                    - params["latents"] ** 2
+                    - jnp.exp(params["logvar"])
+                )
+            else:
+                z = params["latents"][img]
+                kl = jnp.mean(params["latents"] ** 2)
             out = field.apply(params["decoder"], d, z)
             pred_norm = out["rgb"]
             gt_norm = field.normalise(gt)
             recon = jnp.mean((pred_norm - gt_norm) ** 2)
-            kl = jnp.mean(params["latents"] ** 2)
             return recon + cfg.kl_weight * kl, {"recon": recon, "kl": kl}
 
         def step_fn(params, opt_state, rng, dirs_all, targets_all):

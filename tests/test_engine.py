@@ -264,6 +264,46 @@ def test_eval_panels_and_depth_alignment():
     assert abs(s - 2.0) < 1e-6 and abs(t - 0.5) < 1e-6
 
 
+def test_reni_trainer_variational_mechanics():
+    """The default prior trainer is VARIATIONAL (r4): per-image (mu,
+    logvar) posteriors, reparameterised sampling, analytic KL — this is
+    what makes z=0 decode to a mean sky, the property the reference's
+    zero-init latent semantics silently rely on (``neusky_model.py:261-263,
+    1537-1540``)."""
+    from neusky_tpu.engine.reni_trainer import RENITrainer, RENITrainerConfig
+    from neusky_tpu.fields.reni import RENIFieldConfig
+
+    rng = np.random.default_rng(0)
+    envmaps = rng.uniform(0.01, 5.0, (3, 8, 16, 3)).astype(np.float32)
+    cfg = RENITrainerConfig(
+        field=RENIFieldConfig(
+            latent_dim=4, hidden_features=16, num_attention_heads=2,
+            num_attention_layers=1, fixed_decoder=False,
+        ),
+        pixels_per_step=64, steps_per_call=10,
+    )
+    assert cfg.variational and cfg.logvar_init == 0.0
+    trainer = RENITrainer(cfg, envmaps)
+    assert trainer.params["logvar"].shape == (3, 4, 3)
+    hist = trainer.run(num_steps=30, log_every=10)
+    assert np.isfinite(hist[-1]["kl"]) and np.isfinite(hist[-1]["recon"])
+    # both posterior halves actually train
+    assert not np.allclose(np.asarray(trainer.params["latents"]), 0.0)
+    assert not np.allclose(np.asarray(trainer.params["logvar"]), 0.0)
+    # mean-latent decode path (reconstruction_psnr) still works
+    assert np.isfinite(trainer.reconstruction_psnr(0))
+
+    # legacy autodecoder path preserved behind the flag
+    import dataclasses
+
+    tr2 = RENITrainer(
+        dataclasses.replace(cfg, variational=False, kl_weight=1e-5), envmaps
+    )
+    assert "logvar" not in tr2.params
+    h2 = tr2.run(num_steps=20, log_every=10)
+    assert np.isfinite(h2[-1]["total"])
+
+
 def test_reni_trainer_smoke():
     from neusky_tpu.engine.reni_trainer import RENITrainer, RENITrainerConfig
     from neusky_tpu.fields.reni import RENIFieldConfig

@@ -11,7 +11,7 @@
 set -u
 TOTAL=$1; CKPT=$2; OUT=$3; shift 3
 SEG=${SEG:-2000}           # steps per segment invocation
-STALE_S=${STALE_S:-300}    # no log progress for this long → kill segment
+STALE_S=${STALE_S:-600}    # no log progress for this long → kill segment
 GRACE_S=${GRACE_S:-1200}   # allowance for compile+restore before first log
                            # (full-scale FIRST compile is ~10 min on this
                            # 1-core box; 420 s killed healthy compiling
@@ -25,12 +25,18 @@ LOG_EVERY=${LOG_EVERY:-100}  # heartbeat steps; keep LOG_EVERY*s_per_step
                              # segments at ~step 95, before the first
                              # checkpoint: futile restart-from-zero loop)
 
+HEART="$CKPT.heartbeat"    # touched ONLY by logged steps — NOT by startup
+                           # provenance writes to $OUT (those collapsed the
+                           # compile grace into the staleness window and
+                           # killed healthy compiling segments, r4)
+mkdir -p "$(dirname "$HEART")" 2>/dev/null
+
 for attempt in $(seq 1 60); do
-  # log every 100 steps: the staleness watchdog needs a heartbeat faster
-  # than STALE_S even when steps run slow (a 250-step interval at >1.2 s/step
-  # outlives a 300 s window and the watchdog kills a HEALTHY run)
+  # log every $LOG_EVERY steps: the staleness watchdog needs a heartbeat
+  # faster than STALE_S even when steps run slow (a 250-step interval at
+  # >1.2 s/step outlives the window and the watchdog kills a HEALTHY run)
   python tools/train_sanity.py "$TOTAL" "$LOG_EVERY" \
-    --out "$OUT" --ckpt-dir "$CKPT" --resume \
+    --out "$OUT" --ckpt-dir "$CKPT" --resume --heartbeat "$HEART" \
     --segment-steps "$SEG" --ckpt-every 500 "$@" &
   pid=$!
   start=$(date +%s)
@@ -42,12 +48,11 @@ for attempt in $(seq 1 60); do
       break
     fi
     now=$(date +%s)
-    # staleness relative to the most recent of (segment start, last log
-    # write) — a pre-existing log file from an earlier attempt must not
-    # count against THIS segment's compile window
+    # staleness relative to the most recent of (segment start, last
+    # HEARTBEAT) — only logged steps count as progress for THIS segment
     last=$start
-    if [ -f "$OUT" ]; then
-      mt=$(stat -c %Y "$OUT")
+    if [ -f "$HEART" ]; then
+      mt=$(stat -c %Y "$HEART")
       [ "$mt" -gt "$last" ] && last=$mt
     fi
     age=$(( now - last ))
@@ -55,7 +60,10 @@ for attempt in $(seq 1 60); do
     [ "$last" = "$start" ] && limit=$GRACE_S  # still compiling/restoring
     if [ "$age" -gt "$limit" ]; then
       echo "{\"segment\": $attempt, \"status\": \"stale ${age}s — killing wedged pid $pid\"}"
-      kill "$pid" 2>/dev/null; sleep 5; kill -9 "$pid" 2>/dev/null
+      # SIGINT first: a clean interpreter exit releases the tunnel lease
+      # immediately; SIGKILL poisons it for 15-20 min (PERF.md r3)
+      kill -INT "$pid" 2>/dev/null; sleep 30
+      kill -0 "$pid" 2>/dev/null && kill -9 "$pid" 2>/dev/null
       rc=99
       break
     fi

@@ -48,9 +48,23 @@ def main():
     ap.add_argument("--gates-only", action="store_true",
                     help="skip training: load the saved decoder from "
                     "--output and (re)run the quality gates")
-    ap.add_argument("--train-psnr-gate", type=float, default=28.0)
+    ap.add_argument("--train-psnr-gate", type=float, default=None,
+                    help="default 28 (autodecoder) / 24 (variational — "
+                    "mean-latent recon of a sampled-posterior training run "
+                    "is inherently noisier; held-out FIT psnr, the way "
+                    "NeuSky consumes the decoder, is the binding gate)")
     ap.add_argument("--holdout-psnr-gate", type=float, default=22.0)
+    ap.add_argument("--kl-weight", type=float, default=3e-3)
+    ap.add_argument("--autodecoder", action="store_true",
+                    help="legacy unregularised autodecoder prior "
+                    "(kl 1e-5 on ||z||²; z=0 decodes OUT of domain — "
+                    "the r3 sky-plateau root cause)")
+    ap.add_argument("--z0-psnr-gate", type=float, default=15.0,
+                    help="min PSNR (normalised log-HDR domain) of the z=0 "
+                    "decode vs the corpus mean sky")
     args = ap.parse_args()
+    if args.train_psnr_gate is None:
+        args.train_psnr_gate = 28.0 if args.autodecoder else 24.0
 
     import jax
     import jax.numpy as jnp
@@ -70,8 +84,11 @@ def main():
             num_attention_heads=2, num_attention_layers=2,
         )
         args.num_skies, args.holdout, args.width = 24, 4, 32
-        args.steps, args.pixels_per_step = 400, 512
+        if args.steps == ap.get_default("steps"):
+            args.steps = 400
+        args.pixels_per_step = 512
         args.train_psnr_gate, args.holdout_psnr_gate = 10.0, 8.0
+        args.z0_psnr_gate = 8.0
         args.output = args.output + "_quick"
 
     t0 = time.time()
@@ -87,6 +104,8 @@ def main():
             field=field_cfg,
             lr=args.lr,
             latent_lr=args.latent_lr,
+            kl_weight=1e-5 if args.autodecoder else args.kl_weight,
+            variational=not args.autodecoder,
             num_steps=args.steps,
             pixels_per_step=args.pixels_per_step,
             steps_per_call=min(100, args.steps),
@@ -175,6 +194,65 @@ def main():
         )["rgb"]
     equiv_err = float(jnp.max(jnp.abs(out_rot_dirs - out_rot_lat)))
 
+    # --- z=0 gates ------------------------------------------------------
+    # The reference zero-inits every sky latent (``neusky_model.py:261-263,
+    # 1537-1540``) — valid ONLY if the origin decodes to a mean sky within
+    # the normalised log-HDR domain.  The r3 plateau root cause was exactly
+    # this gate failing silently on the unregularised autodecoder prior.
+    dirs_all = jnp.asarray(trainer.directions)
+    z0 = jnp.zeros((field_cfg.latent_dim, 3))
+    pred0 = trainer.field.apply(trainer.params["decoder"], dirs_all, z0)["rgb"]
+    mean_sky_norm = jnp.mean(
+        trainer.field.normalise(jnp.asarray(trainer.targets)), axis=0
+    )  # [H*W, 3] corpus mean in the normalised domain
+    z0_mse = float(jnp.mean((pred0 - mean_sky_norm) ** 2))
+    z0_psnr = 10.0 * float(np.log10(4.0 / max(z0_mse, 1e-12)))
+    z0_max_abs = float(jnp.max(jnp.abs(pred0)))  # domain is [-1, 1]
+
+    # Clipped-fit gate: a latent fit from ZERO through the sRGB-clipped
+    # render path (exactly how NeuSky's sky loss sees the decoder —
+    # ``tools/probe_sky_fit.py`` semantics) must actually descend.  On the
+    # autodecoder prior this loss was bit-flat for 800 steps.
+    import optax
+
+    from neusky_tpu.core.colour import linear_to_sRGB
+    from neusky_tpu.models import losses as L
+
+    stride = max(1, dirs_all.shape[0] // 2048)
+    d_fit = dirs_all[::stride]
+    gt_srgb = jnp.clip(
+        linear_to_sRGB(jnp.asarray(heldout_skies[0].reshape(-1, 3)[::stride])),
+        0.0, 1.0,
+    )
+    dec = jax.tree_util.tree_map(
+        jax.lax.stop_gradient, trainer.params["decoder"]
+    )
+    fit_mask = jnp.ones((d_fit.shape[0], 1))
+
+    def clip_fit_loss(z):
+        pred_norm = trainer.field.apply(dec, d_fit, z)["rgb"]
+        pred_srgb = linear_to_sRGB(trainer.field.unnormalise(pred_norm))
+        return L.sky_pixel_loss(pred_srgb, gt_srgb, fit_mask, 0.1)
+
+    fit_opt = optax.adam(1e-2)
+
+    @jax.jit
+    def clip_fit(z):
+        state = fit_opt.init(z)
+
+        def body(carry, _):
+            z, state = carry
+            l, g = jax.value_and_grad(clip_fit_loss)(z)
+            up, state = fit_opt.update(g, state)
+            return (optax.apply_updates(z, up), state), l
+
+        (z, _), ls = jax.lax.scan(body, (z, state), None, length=150)
+        return z, ls
+
+    _, fit_losses = clip_fit(jnp.zeros((field_cfg.latent_dim, 3)))
+    clip_fit_first = float(fit_losses[0])
+    clip_fit_last = float(fit_losses[-1])
+
     gates = {
         "train_recon_psnr": train_psnr,
         "heldout_fit_psnr": heldout_psnr,
@@ -182,6 +260,13 @@ def main():
         "train_gate": train_psnr >= args.train_psnr_gate,
         "holdout_gate": heldout_psnr >= args.holdout_psnr_gate,
         "equivariance_gate": equiv_err < 1e-3,
+        "variational": not args.autodecoder,
+        "z0_mean_sky_psnr": z0_psnr,
+        "z0_decode_max_abs": z0_max_abs,
+        "clip_fit_loss_first": clip_fit_first,
+        "clip_fit_loss_last": clip_fit_last,
+        "z0_gate": z0_psnr >= args.z0_psnr_gate and z0_max_abs <= 1.1,
+        "clip_fit_gate": clip_fit_last < 0.7 * clip_fit_first,
         "steps": trainer.step,
         "train_seconds": train_time,
         "num_skies": args.num_skies,
@@ -190,6 +275,7 @@ def main():
     }
     gates["all_pass"] = bool(
         gates["train_gate"] and gates["holdout_gate"] and gates["equivariance_gate"]
+        and (args.autodecoder or (gates["z0_gate"] and gates["clip_fit_gate"]))
     )
 
     (out / "quality.json").write_text(json.dumps(gates, indent=2))

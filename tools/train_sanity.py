@@ -50,6 +50,14 @@ def main():
         help="resume from the latest checkpoint in --ckpt-dir",
     )
     ap.add_argument(
+        "--heartbeat", default=None,
+        help="touch this file at every logged step / checkpoint — the "
+        "run_segmented.sh watchdog watches ITS mtime (not --out's: "
+        "startup provenance writes to --out would collapse the compile "
+        "grace window into the staleness window, killing healthy "
+        "compiling segments — observed r4)",
+    )
+    ap.add_argument(
         "--segment-steps", type=int, default=0,
         help="exit cleanly (after a checkpoint) once this many steps ran in "
         "THIS invocation — long runs go as a bash resume-loop of bounded "
@@ -186,6 +194,9 @@ def main():
             if args.out:
                 with open(args.out, "a") as f:
                     f.write(json.dumps(rec) + "\n")
+            if args.heartbeat:
+                with open(args.heartbeat, "w") as f:
+                    f.write(str(i + 1))
 
     if args.ckpt_dir:
         from neusky_tpu.engine.checkpoint import save_checkpoint
