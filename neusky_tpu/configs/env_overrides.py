@@ -66,6 +66,17 @@ def apply_env_knobs(cfg):
                 field=dataclasses.replace(cfg.ddf.field, use_bf16_mapping=on),
             ),
         )
+    if os.environ.get("NEUSKY_FILM_HEADS", "") != "":
+        on = os.environ["NEUSKY_FILM_HEADS"].strip().lower() not in (
+            "0", "false", "off", "no",
+        )
+        cfg = dataclasses.replace(
+            cfg,
+            ddf=dataclasses.replace(
+                cfg.ddf,
+                field=dataclasses.replace(cfg.ddf.field, film_per_layer_heads=on),
+            ),
+        )
     if os.environ.get("NEUSKY_STOCH_DXT", "") != "":
         on = os.environ["NEUSKY_STOCH_DXT"].strip().lower() not in (
             "0", "false", "off", "no",
@@ -121,6 +132,7 @@ def knob_summary() -> dict:
         "NEUSKY_EXACT_TABLE_GRADS",
         "NEUSKY_STOCH_DXT",
         "NEUSKY_BF16_MAPPING",
+        "NEUSKY_FILM_HEADS",
         "NEUSKY_VECTORIZED",
         "NEUSKY_DDF_ENCODING",
     )
@@ -137,6 +149,7 @@ def effective_summary(cfg) -> dict:
         "sdf_bf16_compute": bool(cfg.sdf_field.use_bf16_compute),
         "ddf_bf16_compute": bool(cfg.ddf.field.use_bf16_compute),
         "ddf_bf16_mapping": bool(cfg.ddf.field.use_bf16_mapping),
+        "ddf_film_per_layer_heads": bool(cfg.ddf.field.film_per_layer_heads),
         "visibility_query_chunk": int(cfg.visibility_query_chunk),
         "proposal_stochastic_forward": [
             bool(p.stochastic_forward) for p in cfg.proposal_fields

@@ -67,6 +67,13 @@ class DDFFieldConfig:
     OFF for training entry points; bench.py enables it via
     ``NEUSKY_BF16_MAPPING=1`` (perf-only path).  Flip the default once a
     segmented training A/B shows matched loss/PSNR."""
+    film_per_layer_heads: bool = False
+    """Compute each FiLM layer's (freq, phase) block as its own
+    column-sliced mapping-head matmul instead of one fat [N, 2·film·H]
+    output that every layer slices (``nets/siren.py MappingNetwork
+    .head_block``).  Numerically identical, unchanged parameter tree;
+    removes the dominant materialised tensor of the visibility chunk
+    loop.  A/B: ``NEUSKY_FILM_HEADS={0,1}``."""
 
 
 def _activation(name: str):
@@ -116,6 +123,7 @@ class DirectionalDistanceField(nn.Module):
                 outermost_linear=True,
                 compute_dtype=jnp.bfloat16 if c.use_bf16_compute else None,
                 mapping_compute_dtype=jnp.bfloat16 if c.use_bf16_mapping else None,
+                per_layer_mapping_heads=c.film_per_layer_heads,
             )
         elif c.conditioning == "Attention":
             self.net = TransformerDecoder(

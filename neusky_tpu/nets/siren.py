@@ -129,10 +129,29 @@ class MappingNetwork(nn.Module):
     hidden_features: int
     out_dim: int  # = 2 * n_film_layers * siren_hidden_features
     compute_dtype: Optional[jnp.dtype] = None
+    head_block: int = 0
+    """When >0 (= the consuming SIREN's hidden width H), ``__call__``
+    returns a LIST of per-film-layer (freq_i, phase_i) pairs, each computed
+    as its own column-sliced head matmul on the shared trunk — instead of
+    ONE [N, out_dim] output that every layer slices.  Numerically identical
+    (each output column is the same dot product over the trunk; the
+    parameter tree is unchanged — column blocks of the same ``kernel_out``),
+    but each small head feeds exactly one sin fusion, so XLA never
+    materialises the fat [chunk, out_dim] freqs/phases tensor that
+    dominates the visibility loop's HBM traffic (r3 trace: 335 MB f32 per
+    32k chunk)."""
 
     @nn.compact
     def __call__(self, z: jnp.ndarray):
         cdt = self.compute_dtype
+
+        def dot(a, w, b):
+            if cdt is not None:
+                return jnp.dot(
+                    a.astype(cdt), w.astype(cdt), preferred_element_type=jnp.float32
+                ) + b
+            return jnp.dot(a, w, preferred_element_type=jnp.float32) + b
+
         x = z
         for i in range(self.hidden_layers):
             in_dim = x.shape[-1]
@@ -142,13 +161,7 @@ class MappingNetwork(nn.Module):
                 lambda r, s, fi=in_dim: _torch_bias_init(r, s, fan_in=fi),
                 (self.hidden_features,),
             )
-            if cdt is not None:
-                lin = jnp.dot(
-                    x.astype(cdt), w.astype(cdt), preferred_element_type=jnp.float32
-                ) + b
-            else:
-                lin = jnp.dot(x, w, preferred_element_type=jnp.float32) + b
-            x = jax.nn.leaky_relu(lin, 0.2)
+            x = jax.nn.leaky_relu(dot(x, w, b), 0.2)
         in_dim = x.shape[-1]
         w = self.param(
             "kernel_out",
@@ -158,13 +171,24 @@ class MappingNetwork(nn.Module):
         b = self.param(
             "bias_out", lambda r, s: _torch_bias_init(r, s, fan_in=in_dim), (self.out_dim,)
         )
+        if self.head_block:
+            h = self.head_block
+            half = self.out_dim // 2
+            pairs = []
+            for i in range(half // h):
+                f = dot(x, w[:, i * h : (i + 1) * h], b[i * h : (i + 1) * h])
+                p = dot(
+                    x,
+                    w[:, half + i * h : half + (i + 1) * h],
+                    b[half + i * h : half + (i + 1) * h],
+                )
+                if cdt is not None:
+                    f, p = f.astype(cdt), p.astype(cdt)
+                pairs.append((f, p))
+            return pairs
+        out = dot(x, w, b)
         if cdt is not None:
-            out = jnp.dot(
-                x.astype(cdt), w.astype(cdt), preferred_element_type=jnp.float32
-            ) + b
             out = out.astype(cdt)
-        else:
-            out = jnp.dot(x, w, preferred_element_type=jnp.float32) + b
         freqs, phases = jnp.split(out, 2, axis=-1)
         return freqs, phases
 
@@ -192,16 +216,22 @@ class FiLMSiren(nn.Module):
     mapping_compute_dtype: Optional[jnp.dtype] = None  # A/B'd separately —
     # bf16 here also shrinks the materialised (freqs, phases) tensors, the
     # dominant HBM traffic of the visibility loop (r3 trace)
+    per_layer_mapping_heads: bool = False  # see MappingNetwork.head_block
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, conditioning_input: jnp.ndarray) -> jnp.ndarray:
         n_film = self.hidden_layers  # film layers: first + (hidden-1) as in ref
-        freqs, phases = MappingNetwork(
+        mapped = MappingNetwork(
             hidden_layers=self.mapping_network_layers,
             hidden_features=self.mapping_network_features,
             out_dim=2 * n_film * self.hidden_features,
             compute_dtype=self.mapping_compute_dtype,
+            head_block=self.hidden_features if self.per_layer_mapping_heads else 0,
         )(conditioning_input)
+        if self.per_layer_mapping_heads:
+            pairs = mapped
+        else:
+            freqs, phases = mapped
 
         cdt = self.compute_dtype
         h = x
@@ -223,8 +253,11 @@ class FiLMSiren(nn.Module):
             # slice THEN upcast: the affine+upcast fuses into the sin
             # consumer per layer, so the materialised mapping output stays
             # bf16 while the sin ARGUMENT is computed in f32 (``siren.py:200``)
-            f = freqs[..., i * self.hidden_features : (i + 1) * self.hidden_features]
-            p = phases[..., i * self.hidden_features : (i + 1) * self.hidden_features]
+            if self.per_layer_mapping_heads:
+                f, p = pairs[i]
+            else:
+                f = freqs[..., i * self.hidden_features : (i + 1) * self.hidden_features]
+                p = phases[..., i * self.hidden_features : (i + 1) * self.hidden_features]
             f = f.astype(jnp.float32) * 15.0 + 30.0
             p = p.astype(jnp.float32)
             h = jnp.sin(f * lin + p)

@@ -105,6 +105,62 @@ def test_film_siren_bf16_mapping_close_to_fp32():
     assert not np.array_equal(y16, y32)  # the knob actually changed compute
 
 
+def test_film_siren_per_layer_heads_equivalent():
+    """per_layer_mapping_heads is a pure compute-layout change: each
+    per-layer head is a column slice of the SAME kernel_out, so the
+    parameter tree is unchanged and outputs/grads must match the fat-head
+    path to fp reassociation noise (fwd AND bwd)."""
+    kw = dict(
+        hidden_layers=3, hidden_features=32,
+        mapping_network_layers=2, mapping_network_features=32,
+        out_dim=1,
+    )
+    fat = FiLMSiren(**kw)
+    heads = FiLMSiren(per_layer_mapping_heads=True, **kw)
+    x = jax.random.normal(jax.random.PRNGKey(0), (64, 7))
+    c = jax.random.normal(jax.random.PRNGKey(1), (64, 5))
+    params = fat.init(jax.random.PRNGKey(2), x, c)
+    # identical parameter tree: heads path initialises the same shapes
+    p2 = heads.init(jax.random.PRNGKey(2), x, c)
+    assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(p2)
+    for a, b in zip(jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(p2)):
+        assert a.shape == b.shape
+    y_fat = np.asarray(fat.apply(params, x, c))
+    y_heads = np.asarray(heads.apply(params, x, c))
+    scale = np.abs(y_fat).max()
+    assert np.abs(y_heads - y_fat).max() / scale < 1e-5
+
+    def loss(fn):
+        return lambda p: jnp.sum(fn.apply(p, x, c) ** 2)
+
+    g_fat = jax.grad(loss(fat))(params)
+    g_heads = jax.grad(loss(heads))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_fat), jax.tree_util.tree_leaves(g_heads)):
+        denom = max(float(np.abs(a).max()), 1e-8)
+        assert float(np.abs(np.asarray(a) - np.asarray(b)).max()) / denom < 1e-4
+
+
+def test_film_siren_per_layer_heads_bf16_mapping():
+    """heads + bf16 mapping compose: output stays fp32 and within the bf16
+    perturbation envelope of the fp32 fat-head reference."""
+    kw = dict(
+        hidden_layers=3, hidden_features=32,
+        mapping_network_layers=2, mapping_network_features=32,
+        out_dim=1,
+    )
+    fat32 = FiLMSiren(**kw)
+    h16 = FiLMSiren(per_layer_mapping_heads=True,
+                    mapping_compute_dtype=jnp.bfloat16, **kw)
+    x = jax.random.normal(jax.random.PRNGKey(0), (64, 7))
+    c = jax.random.normal(jax.random.PRNGKey(1), (64, 5))
+    params = fat32.init(jax.random.PRNGKey(2), x, c)
+    y32 = np.asarray(fat32.apply(params, x, c))
+    y16 = np.asarray(h16.apply(params, x, c))
+    assert y16.dtype == np.float32
+    scale = np.abs(y32).max()
+    assert np.abs(y16 - y32).max() / scale < 0.15
+
+
 def test_transformer_decoder():
     dec = TransformerDecoder(hidden_features=32, num_heads=4, num_layers=2, out_dim=3)
     x = jax.random.normal(jax.random.PRNGKey(0), (8, 6))
