@@ -222,7 +222,21 @@ def main():
         "metric": "joint_train_rays_per_sec_per_chip",
         "value": round(rays_per_sec, 1),
         "unit": "rays/s",
+        # the headline is the ABSOLUTE single-chip rate; the multiplier
+        # divides by a DERIVED baseline (no published reference number
+        # exists) and compares a v5e chip to BASELINE.md's v5p-8 north-star
+        # phrasing — both uncertainties are stated here rather than hidden
+        "absolute_rays_per_sec": round(rays_per_sec, 1),
+        "chip": "tpu-v5e (1 chip via axon tunnel)",
         "vs_baseline": round(rays_per_sec / A100_BASELINE_RAYS_PER_SEC, 3),
+        "baseline_note": (
+            "denominator 2800 rays/s is an ESTIMATE (reference publishes no "
+            "throughput; derived from 100k steps x 2304 rays at ~1.2 steps/s "
+            "on a 24GB CUDA GPU, BASELINE.md) — at +/-30% on that step-rate "
+            "guess the multiplier spans "
+            f"{round(rays_per_sec / (A100_BASELINE_RAYS_PER_SEC * 1.3), 2)}-"
+            f"{round(rays_per_sec / (A100_BASELINE_RAYS_PER_SEC * 0.7), 2)}x"
+        ),
         "loop_rates": [round(r, 1) for r in rates],
         "stddev": round(stddev, 1),
         "loadavg_before": round(load_before, 2),
