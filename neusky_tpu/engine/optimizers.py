@@ -115,6 +115,10 @@ def param_group_label(path_key: str) -> str:
         return "proposal_networks"
     if path_key in ("eval_latents", "illumination_decoder"):
         return "frozen"
+    if path_key == "gt_probe_illumination":
+        # ceiling-probe oracle light table trains at the illumination
+        # group's LR (it stands in for the RENI latents)
+        return "illumination_field"
     return path_key
 
 

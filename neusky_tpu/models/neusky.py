@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from neusky_tpu.core.colour import linear_to_sRGB
+from neusky_tpu.core.colour import linear_to_sRGB, sRGB_to_linear
 from neusky_tpu.core.rays import (
     RayBundle,
     RaySamples,
@@ -140,6 +140,18 @@ class NeuSkyModelConfig:
     chunking it re-stages every hash-table level into VMEM per chunk
     iteration (trace-observed) — unchunked it stages once."""
     cos_anneal_ratio: float = 1.0
+    gt_illumination_probe: bool = False
+    """Ceiling probe: replace the RENI illumination decode with (a) a FREE
+    learnable per-direction HDR light table shared across all images — an
+    oracle upper bound on ANY illumination estimator, RENI included — and
+    (b) a fixed analytic sky background (``gt_probe_background``, sRGB).
+    Isolates geometry/albedo/shading capacity from illumination estimation
+    so the synthetic-scene PSNR ceiling is a measured number (the GT-layer
+    eval intent of reference ``neusky_model.py:1177-1254``).  Random
+    direction rotation is disabled so table slots keep fixed directions."""
+    gt_probe_background: tuple = (0.35, 0.55, 0.95)
+    """sRGB sky colour composited behind the scene in probe mode (must
+    match the synthetic scene's ``sky_colour``)."""
     sdf_level_set_subset: int = 64
     """Directions per ray for the sdf-at-termination query feeding
     ``sdf_level_set_visibility_loss``.  The reference evaluates the SDF at
@@ -272,6 +284,16 @@ class NeuSkyModel:
         if self.ddf is not None:
             origins = jnp.array([[0.0, 0.0, c.ddf_radius]] * 2)
             params["ddf_field"] = self.ddf.init(keys[6], origins, dirs)
+        if c.gt_illumination_probe:
+            # log-parameterised so the table spans HDR decades and stays
+            # positive; init at the linear-domain sky level
+            bg_lin = sRGB_to_linear(jnp.asarray(c.gt_probe_background))
+            params["gt_probe_illumination"] = {
+                "log_light": jnp.tile(
+                    jnp.log(jnp.maximum(bg_lin, 1e-4))[None, :].astype(jnp.float32),
+                    (self.num_directions, 1),
+                ),
+            }
         if c.losses.vis_sigmoid_method == "learnable":
             params["visibility_sigmoid"] = {
                 "visibility_threshold": jnp.asarray(c.ddf_radius * 2.0),
@@ -348,12 +370,24 @@ class NeuSkyModel:
         """
         c = self.config
         apply_rot = None
-        if not train and c.fix_test_illumination_directions:
+        if c.gt_illumination_probe or (
+            not train and c.fix_test_illumination_directions
+        ):
             apply_rot = False
         dirs = self.illumination_sampler(rng, apply_random_rotation=apply_rot)  # [D,3]
         d = dirs.shape[0]
         u = image_indices.shape[0]
         n = ray_bundle.origins.shape[0]
+
+        if c.gt_illumination_probe:
+            # oracle illumination: free learnable per-direction HDR table
+            # (shared across images — the synthetic sky is global) + fixed
+            # analytic background.  See ``gt_illumination_probe`` docstring.
+            light = jnp.exp(params["gt_probe_illumination"]["log_light"])  # [D,3]
+            hdr_light_colours = jnp.broadcast_to(light[None], (n, d, 3))
+            bg = sRGB_to_linear(jnp.asarray(c.gt_probe_background, jnp.float32))
+            hdr_background = jnp.broadcast_to(bg[None], (n, 3))
+            return dirs, hdr_light_colours, hdr_background
 
         latents_all, scales_all = self._select_latents(params, train, fitting_eval_latents)
         z_img = latents_all[image_indices]  # [U, L, 3]

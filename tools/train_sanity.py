@@ -58,6 +58,13 @@ def main():
         "compiling segments — observed r4)",
     )
     ap.add_argument(
+        "--gt-illumination", action="store_true",
+        help="ceiling probe: oracle per-direction light table + analytic "
+        "sky background instead of the RENI fit "
+        "(NeuSkyModelConfig.gt_illumination_probe) — establishes the "
+        "synthetic-scene PSNR ceiling so 'converged' is quantified",
+    )
+    ap.add_argument(
         "--segment-steps", type=int, default=0,
         help="exit cleanly (after a checkpoint) once this many steps ran in "
         "THIS invocation — long runs go as a bash resume-loop of bounded "
@@ -104,6 +111,8 @@ def main():
     # so training-dynamics A/Bs run the exact config the bench measures
     cfg = apply_env_knobs(neusky_model_config(num_train_data=8, num_eval_data=2))
     prov = {"env_knobs": knob_summary(), "effective": effective_summary(cfg)}
+    if args.gt_illumination:
+        prov["gt_illumination_probe"] = True
     print(json.dumps(prov), flush=True)
     if args.out:
         with open(args.out, "a") as f:
@@ -119,6 +128,8 @@ def main():
                 ),
             ),
         )
+    if args.gt_illumination:
+        cfg = dataclasses.replace(cfg, gt_illumination_probe=True)
     model = NeuSkyModel(cfg)
     pipe = PipelineConfig(
         visibility_train_sampler=DDFSamplerConfig(
