@@ -17,6 +17,11 @@ same knobs), so that an A/B pair differs only in its environment:
   materialised freqs/phases; sin arguments stay f32).
 - ``NEUSKY_VECTORIZED={0,1}``    — all-levels-in-one vs per-level hash
   encode ops (measured slower on v5e — transposed layouts; see PERF.md).
+- ``NEUSKY_PROP_LEVELS=<n>`` / ``NEUSKY_PROP_LOG2=<n>`` — shrink the
+  proposal density fields' hash grids (levels / table size).  The r3
+  trace puts hash-encode machinery at ~51% of the step and the proposal
+  fields take full-size encodes on 352k samples/step; these A/B the
+  perf/quality trade (quality via tools/eval_from_ckpt.py).
 - ``NEUSKY_DDF_ENCODING={nerf,hash}`` — DDF position encoding; the
   reference uses hash (``neusky/configs/neusky_config.py:162-177``), the
   framework default is nerf frequency (the hash DDF adds ~33M scatter
@@ -47,6 +52,28 @@ def apply_env_knobs(cfg):
             cfg,
             proposal_fields=tuple(
                 dataclasses.replace(p, stochastic_forward=False)
+                for p in cfg.proposal_fields
+            ),
+        )
+    if os.environ.get("NEUSKY_PROP_LEVELS", ""):
+        n = int(os.environ["NEUSKY_PROP_LEVELS"])
+        cfg = dataclasses.replace(
+            cfg,
+            proposal_fields=tuple(
+                dataclasses.replace(
+                    p, hash=dataclasses.replace(p.hash, num_levels=n)
+                )
+                for p in cfg.proposal_fields
+            ),
+        )
+    if os.environ.get("NEUSKY_PROP_LOG2", ""):
+        n = int(os.environ["NEUSKY_PROP_LOG2"])
+        cfg = dataclasses.replace(
+            cfg,
+            proposal_fields=tuple(
+                dataclasses.replace(
+                    p, hash=dataclasses.replace(p.hash, log2_hashmap_size=n)
+                )
                 for p in cfg.proposal_fields
             ),
         )
@@ -133,6 +160,8 @@ def knob_summary() -> dict:
         "NEUSKY_STOCH_DXT",
         "NEUSKY_BF16_MAPPING",
         "NEUSKY_FILM_HEADS",
+        "NEUSKY_PROP_LEVELS",
+        "NEUSKY_PROP_LOG2",
         "NEUSKY_VECTORIZED",
         "NEUSKY_DDF_ENCODING",
     )
@@ -158,4 +187,8 @@ def effective_summary(cfg) -> dict:
         "sdf_stochastic_dxt": bool(cfg.sdf_field.stochastic_dxt),
         "ddf_position_encoding": cfg.ddf.field.position_encoding_type,
         "sdf_hash_vectorized": bool(cfg.sdf_field.hash.vectorized),
+        "proposal_hash_levels": [p.hash.num_levels for p in cfg.proposal_fields],
+        "proposal_hash_log2": [
+            p.hash.log2_hashmap_size for p in cfg.proposal_fields
+        ],
     }

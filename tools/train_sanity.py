@@ -58,6 +58,13 @@ def main():
         "compiling segments — observed r4)",
     )
     ap.add_argument(
+        "--prior-dir", default=None,
+        help="override illumination_prior_dir (e.g. to A/B the variational "
+        "retrain against the legacy autodecoder prior); a prior shipping "
+        "no init_latent.npz trains with ZERO-init latents — the "
+        "reference's semantics, valid only for a variational prior",
+    )
+    ap.add_argument(
         "--gt-illumination", action="store_true",
         help="ceiling probe: oracle per-direction light table + analytic "
         "sky background instead of the RENI fit "
@@ -110,13 +117,6 @@ def main():
     # same env A/B knobs as bench.py (NEUSKY_BENCH_BF16, NEUSKY_EXACT_*, …)
     # so training-dynamics A/Bs run the exact config the bench measures
     cfg = apply_env_knobs(neusky_model_config(num_train_data=8, num_eval_data=2))
-    prov = {"env_knobs": knob_summary(), "effective": effective_summary(cfg)}
-    if args.gt_illumination:
-        prov["gt_illumination_probe"] = True
-    print(json.dumps(prov), flush=True)
-    if args.out:
-        with open(args.out, "a") as f:
-            f.write(json.dumps(prov) + "\n")
     if args.ddf_encoding != cfg.ddf.field.position_encoding_type:
         cfg = dataclasses.replace(
             cfg,
@@ -130,6 +130,19 @@ def main():
         )
     if args.gt_illumination:
         cfg = dataclasses.replace(cfg, gt_illumination_probe=True)
+    if args.prior_dir:
+        cfg = dataclasses.replace(cfg, illumination_prior_dir=args.prior_dir)
+    # provenance AFTER all config overrides so the logged effective config
+    # is the one that actually trains
+    prov = {"env_knobs": knob_summary(), "effective": effective_summary(cfg)}
+    if args.gt_illumination:
+        prov["gt_illumination_probe"] = True
+    if args.prior_dir:
+        prov["prior_dir"] = args.prior_dir
+    print(json.dumps(prov), flush=True)
+    if args.out:
+        with open(args.out, "a") as f:
+            f.write(json.dumps(prov) + "\n")
     model = NeuSkyModel(cfg)
     pipe = PipelineConfig(
         visibility_train_sampler=DDFSamplerConfig(
