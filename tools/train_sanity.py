@@ -214,6 +214,13 @@ def main():
                 "s_val": round(float(aux["metrics"]["s_val"]), 5),
                 "elapsed_s": round(time.perf_counter() - t0, 1),
             }
+            # per-loss breakdown for the losses that diagnose WHERE the
+            # error lives (sky vs foreground vs geometry) — the 10.3-PSNR
+            # plateau question is unanswerable from total_loss alone
+            for k2 in ("sky_pixel_loss", "rgb_l1_loss", "fg_mask_loss",
+                       "eikonal_loss"):
+                if k2 in aux.get("loss_dict", {}):
+                    rec[k2] = round(float(aux["loss_dict"][k2]), 5)
             print(json.dumps(rec), flush=True)
             if args.out:
                 with open(args.out, "a") as f:
