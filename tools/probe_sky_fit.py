@@ -31,6 +31,14 @@ def main():
     from neusky_tpu.core.colour import linear_to_sRGB
 
     cfg = neusky_model_config(num_train_data=1, num_eval_data=1)
+    # NEUSKY_PRIOR_DIR: probe an alternative prior (e.g. the r4
+    # variational retrain) without editing the canonical config
+    alt = os.environ.get("NEUSKY_PRIOR_DIR", "")
+    if alt:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, illumination_prior_dir=alt)
+        print(json.dumps({"prior_dir": alt}), flush=True)
     model = NeuSkyModel(cfg)
     params = model.init(jax.random.PRNGKey(0))
     params = load_illumination_prior(params, cfg)
