@@ -26,6 +26,9 @@ same knobs), so that an A/B pair differs only in its environment:
   reference uses hash (``neusky/configs/neusky_config.py:162-177``), the
   framework default is nerf frequency (the hash DDF adds ~33M scatter
   rows/step — measured ≫10× joint-step cost; PERF.md r3).
+- ``NEUSKY_BF16_TABLES={0,1}`` — gather hash-table corners through a bf16
+  cast of each level table (halves random-access gather bytes; fp32
+  master table, scatter backward, and encode output dtype unchanged).
 
 Reference step semantics being benchmarked:
 ``/root/reference/neusky/pipelines/neusky_pipeline.py:240-291``.
@@ -123,31 +126,40 @@ def apply_env_knobs(cfg):
             ),
         )
     if os.environ.get("NEUSKY_VECTORIZED", "") != "":
-        from neusky_tpu.ops.hashgrid import HashGridConfig
-
         vec = os.environ["NEUSKY_VECTORIZED"].strip().lower() not in (
             "0", "false", "off", "no",
         )
-
-        def _setvec(node):
-            if isinstance(node, HashGridConfig):
-                return dataclasses.replace(node, vectorized=vec)
-            if dataclasses.is_dataclass(node) and not isinstance(node, type):
-                return dataclasses.replace(
-                    node,
-                    **{
-                        f.name: _setvec(getattr(node, f.name))
-                        for f in dataclasses.fields(node)
-                        if dataclasses.is_dataclass(getattr(node, f.name))
-                        or isinstance(getattr(node, f.name), tuple)
-                    },
-                )
-            if isinstance(node, tuple):
-                return tuple(_setvec(v) for v in node)
-            return node
-
-        cfg = _setvec(cfg)
+        cfg = _set_all_hashgrids(cfg, vectorized=vec)
+    if os.environ.get("NEUSKY_BF16_TABLES", "") != "":
+        on = os.environ["NEUSKY_BF16_TABLES"].strip().lower() not in (
+            "0", "false", "off", "no",
+        )
+        cfg = _set_all_hashgrids(cfg, bf16_gather=on)
     return cfg
+
+
+def _set_all_hashgrids(cfg, **updates):
+    """Replace field(s) on every HashGridConfig anywhere in the config tree."""
+    from neusky_tpu.ops.hashgrid import HashGridConfig
+
+    def _walk(node):
+        if isinstance(node, HashGridConfig):
+            return dataclasses.replace(node, **updates)
+        if dataclasses.is_dataclass(node) and not isinstance(node, type):
+            return dataclasses.replace(
+                node,
+                **{
+                    f.name: _walk(getattr(node, f.name))
+                    for f in dataclasses.fields(node)
+                    if dataclasses.is_dataclass(getattr(node, f.name))
+                    or isinstance(getattr(node, f.name), tuple)
+                },
+            )
+        if isinstance(node, tuple):
+            return tuple(_walk(v) for v in node)
+        return node
+
+    return _walk(cfg)
 
 
 def knob_summary() -> dict:
@@ -164,6 +176,7 @@ def knob_summary() -> dict:
         "NEUSKY_PROP_LOG2",
         "NEUSKY_VECTORIZED",
         "NEUSKY_DDF_ENCODING",
+        "NEUSKY_BF16_TABLES",
     )
     return {k: os.environ[k] for k in keys if os.environ.get(k, "") != ""}
 
@@ -187,6 +200,7 @@ def effective_summary(cfg) -> dict:
         "sdf_stochastic_dxt": bool(cfg.sdf_field.stochastic_dxt),
         "ddf_position_encoding": cfg.ddf.field.position_encoding_type,
         "sdf_hash_vectorized": bool(cfg.sdf_field.hash.vectorized),
+        "hash_bf16_gather": bool(cfg.sdf_field.hash.bf16_gather),
         "proposal_hash_levels": [p.hash.num_levels for p in cfg.proposal_fields],
         "proposal_hash_log2": [
             p.hash.log2_hashmap_size for p in cfg.proposal_fields

@@ -44,6 +44,19 @@ import numpy as np
 _PRIMES = (1, 2654435761, 805459861)
 
 
+def _take_ft(t2: jnp.ndarray, idx: jnp.ndarray, bf16: bool) -> jnp.ndarray:
+    """Axis-1 corner gather from a level table ``t2 [F, T]``.
+
+    ``bf16=True`` gathers from a bf16 cast of the level (one cast per level
+    per step — XLA CSEs the repeats), halving the random-access gather
+    bytes while the master table stays fp32.  Callers upcast after
+    interpolation so encode outputs / custom-VJP cotangent dtypes are
+    unchanged (the Pallas scatter requires f32 cotangents)."""
+    if bf16:
+        t2 = t2.astype(jnp.bfloat16)
+    return jnp.take(t2, idx, axis=1)
+
+
 @dataclasses.dataclass(frozen=True)
 class HashGridConfig:
     num_levels: int = 16
@@ -70,6 +83,14 @@ class HashGridConfig:
     """Wrap the encode output in an optimization_barrier so XLA cannot
     propagate the consuming matmul's layout back onto the gather/scatter —
     observed to slow the table scatter-adds by >100× on TPU."""
+    bf16_gather: bool = False
+    """Route corner gathers through a bf16 cast of the level table (halves
+    the gathered bytes; the fp32 master table, the Pallas scatter backward,
+    and the encode OUTPUT dtype are unchanged — interpolation runs in bf16
+    and upcasts).  Feature precision drops to bf16 rounding (~2^-8
+    relative), far below the gradient noise the stochastic estimators
+    already inject (PERF.md r3 exact-vs-stoch A/B).  Per-level path only;
+    A/B via ``NEUSKY_BF16_TABLES``."""
 
     @property
     def table_size(self) -> int:
@@ -352,8 +373,11 @@ class HashGridEncoding:
                 take = take_interp_stoch_fp if stoch_fwd else take_interp_stoch
                 outs.append(take(table[lvl], idx, w, u_l))
             else:
-                feats = jnp.take(table[lvl], idx, axis=1)  # [F, 8, N]
-                outs.append(jnp.sum(w[None] * feats, axis=1))  # [F, N]
+                feats = _take_ft(table[lvl], idx, c.bf16_gather)  # [F, 8, N]
+                outs.append(
+                    jnp.sum(W.astype(feats.dtype)[None] * feats, axis=1)
+                    .astype(table.dtype)
+                )  # [F, N]
         out = self._assemble(outs, n)
         if c.layout_barrier:
             out = jax.lax.optimization_barrier(out)
@@ -410,12 +434,14 @@ class HashGridEncoding:
                     douts[a].append(d)
                 continue
             idx, W, dW = self._level_iw(xt, lvl, need_dw=True)
-            feats = jnp.take(table[lvl], idx, axis=1)  # [F, 8, N]
-            w = W.astype(table.dtype)
-            dw = dW.astype(table.dtype)
-            outs.append(jnp.sum(w[None] * feats, axis=1))
+            feats = _take_ft(table[lvl], idx, c.bf16_gather)  # [F, 8, N]
+            w = W.astype(feats.dtype)
+            dw = dW.astype(feats.dtype)
+            outs.append(jnp.sum(w[None] * feats, axis=1).astype(table.dtype))
             for a in range(3):
-                douts[a].append(jnp.sum(dw[a][None] * feats, axis=1))
+                douts[a].append(
+                    jnp.sum(dw[a][None] * feats, axis=1).astype(table.dtype)
+                )
         out = self._assemble(outs, n)  # [N, L*F]
         dout = jnp.stack(
             [self._assemble(d, n) for d in douts], axis=1
@@ -461,8 +487,8 @@ def _scatter_ft(rows: jnp.ndarray, vals: jnp.ndarray, t: int) -> jnp.ndarray:
 def _level_encode(enc: "HashGridEncoding", lvl: int, t2, xt):
     """One level's interpolated encode: t2 [F, T], xt [3, N] → [F, N]."""
     idx, W, _ = enc._level_iw(xt, lvl, need_dw=False)
-    feats = jnp.take(t2, idx, axis=1)  # [F, 8, N]
-    return jnp.sum(W.astype(t2.dtype)[None] * feats, axis=1)
+    feats = _take_ft(t2, idx, enc.config.bf16_gather)  # [F, 8, N]
+    return jnp.sum(W.astype(feats.dtype)[None] * feats, axis=1).astype(t2.dtype)
 
 
 def _level_encode_fwd(enc, lvl, t2, xt):
@@ -482,8 +508,8 @@ def _level_encode_bwd(enc, lvl, res, g):
     w_upd = W.astype(g.dtype)[None] * g[:, None, :]  # [F, 8, N]
     d = _scatter_ft(idx.reshape(-1), w_upd.reshape(g.shape[0], -1), t2.shape[1])
     # dL/dxt[a, n] = Σ_c dW[a,c,n] · Σ_f g[f,n] · feats[f,c,n]
-    feats = jnp.take(t2, idx, axis=1)  # [F, 8, N]
-    gf = jnp.sum(g[:, None, :] * feats, axis=0)  # [8, N]
+    feats = _take_ft(t2, idx, enc.config.bf16_gather)  # [F, 8, N]
+    gf = jnp.sum(g[:, None, :] * feats.astype(g.dtype), axis=0)  # [8, N]
     dxt = jnp.sum(dW.astype(g.dtype) * gf[None], axis=1)  # [3, N]
     return d, dxt
 
@@ -495,11 +521,13 @@ _level_encode.defvjp(_level_encode_fwd, _level_encode_bwd)
 def _level_encode_dx(enc: "HashGridEncoding", lvl: int, t2, xt):
     """Encode + analytic d/dx: → (out [F,N], d0 [F,N], d1 [F,N], d2 [F,N])."""
     idx, W, dW = enc._level_iw(xt, lvl, need_dw=True)
-    feats = jnp.take(t2, idx, axis=1)  # [F, 8, N]
-    w = W.astype(t2.dtype)
-    dw = dW.astype(t2.dtype)
-    out = jnp.sum(w[None] * feats, axis=1)
-    ds = tuple(jnp.sum(dw[a][None] * feats, axis=1) for a in range(3))
+    feats = _take_ft(t2, idx, enc.config.bf16_gather)  # [F, 8, N]
+    w = W.astype(feats.dtype)
+    dw = dW.astype(feats.dtype)
+    out = jnp.sum(w[None] * feats, axis=1).astype(t2.dtype)
+    ds = tuple(
+        jnp.sum(dw[a][None] * feats, axis=1).astype(t2.dtype) for a in range(3)
+    )
     return (out,) + ds
 
 
@@ -552,8 +580,8 @@ def _level_encode_stoch(enc: "HashGridEncoding", lvl: int, t2, xt, salt):
     case cancels exactly).  Position cotangent stays EXACT (it is analytic
     VPU math + a re-gather, no scatter)."""
     idx, W, _ = enc._level_iw(xt, lvl, need_dw=False)
-    feats = jnp.take(t2, idx, axis=1)  # [F, 8, N]
-    return jnp.sum(W.astype(t2.dtype)[None] * feats, axis=1)
+    feats = _take_ft(t2, idx, enc.config.bf16_gather)  # [F, 8, N]
+    return jnp.sum(W.astype(feats.dtype)[None] * feats, axis=1).astype(t2.dtype)
 
 
 def _level_encode_stoch_fwd(enc, lvl, t2, xt, salt):
@@ -572,8 +600,8 @@ def _level_encode_stoch_bwd(enc, lvl, res, g):
     rows, wsum = _sample_corner(idx, W.astype(g.dtype), u)
     d = _scatter_ft(rows, g * wsum[None, :], t2.shape[1])
     # exact position cotangent (identical to _level_encode_bwd)
-    feats = jnp.take(t2, idx, axis=1)
-    gf = jnp.sum(g[:, None, :] * feats, axis=0)  # [8, N]
+    feats = _take_ft(t2, idx, enc.config.bf16_gather)
+    gf = jnp.sum(g[:, None, :] * feats.astype(g.dtype), axis=0)  # [8, N]
     dxt = jnp.sum(dW.astype(g.dtype) * gf[None], axis=1)  # [3, N]
     return d, dxt, jnp.zeros_like(salt)
 
@@ -592,8 +620,8 @@ def _level_encode_stoch_sdxt(enc: "HashGridEncoding", lvl: int, t2, xt, salt):
     draw is decorrelated from the table-grad corner draw (different level
     stream into the salt hash) so table and position noise don't couple."""
     idx, W, _ = enc._level_iw(xt, lvl, need_dw=False)
-    feats = jnp.take(t2, idx, axis=1)  # [F, 8, N]
-    return jnp.sum(W.astype(t2.dtype)[None] * feats, axis=1)
+    feats = _take_ft(t2, idx, enc.config.bf16_gather)  # [F, 8, N]
+    return jnp.sum(W.astype(feats.dtype)[None] * feats, axis=1).astype(t2.dtype)
 
 
 def _level_encode_stoch_sdxt_fwd(enc, lvl, t2, xt, salt):
@@ -616,7 +644,7 @@ def _level_encode_stoch_sdxt_bwd(enc, lvl, res, g):
     u2 = _cheap_hash_u(n, lvl + 131, salt)
     c = jnp.minimum((u2 * 8.0).astype(jnp.int32), 7)  # [N]
     rows2 = jnp.take_along_axis(idx, c[None, :], axis=0)[0]  # [N]
-    feats_c = jnp.take(t2, rows2, axis=1).astype(g.dtype)  # [F, N] — 1 row
+    feats_c = _take_ft(t2, rows2, enc.config.bf16_gather).astype(g.dtype)  # [F, N]
     gf = jnp.sum(g * feats_c, axis=0)  # [N]
     dw_c = jnp.take_along_axis(
         dW.astype(g.dtype), jnp.broadcast_to(c[None, None, :], (3, 1, n)), axis=1

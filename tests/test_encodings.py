@@ -505,3 +505,80 @@ class TestVectorizedLevels:
                 np.asarray(g(vec)), np.asarray(g(ref)), rtol=1e-5, atol=3e-6,
                 err_msg=f"fp={fp}",
             )
+
+
+class TestBF16Gather:
+    """``HashGridConfig.bf16_gather`` (NEUSKY_BF16_TABLES): corner gathers
+    route through a bf16 cast of the level table.  Outputs/cotangents must
+    stay f32 and match the fp32 gather within bf16 rounding (~2^-8 rel)."""
+
+    def _pair(self):
+        base = dict(
+            num_levels=4, features_per_level=2, log2_hashmap_size=12,
+            base_res=4, max_res=32,
+        )
+        bf = HashGridEncoding(HashGridConfig(bf16_gather=True, **base))
+        ref = HashGridEncoding(HashGridConfig(**base))
+        table = ref.init(jax.random.PRNGKey(0))
+        x = jax.random.uniform(
+            jax.random.PRNGKey(1), (64, 3), minval=0.05, maxval=0.95
+        )
+        return bf, ref, table, x
+
+    def _close(self, a, b):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(b).max(), 1e-3)
+        np.testing.assert_allclose(a, b, atol=0.02 * scale, rtol=0.02)
+
+    def test_forward_close_and_f32(self):
+        bf, ref, table, x = self._pair()
+        out = bf(table, x)
+        assert out.dtype == table.dtype  # upcast back to f32
+        self._close(out, ref(table, x))
+
+    def test_custom_vjp_grads_close_and_f32(self):
+        bf, ref, table, x = self._pair()
+
+        def g(enc_obj):
+            def f(t):
+                return jnp.sum(jnp.sin(enc_obj(t, x)))
+            return jax.grad(f)(table)
+
+        gb = g(bf)
+        assert gb.dtype == table.dtype
+        self._close(gb, g(ref))
+
+        def gx(enc_obj):
+            def f(xx):
+                return jnp.sum(jnp.sin(enc_obj(table, xx)))
+            return jax.grad(f)(x)
+
+        self._close(gx(bf), gx(ref))
+
+    def test_encode_with_dx_close(self):
+        bf, ref, table, x = self._pair()
+        ob, db = bf.encode_with_dx(table=table, x=x)
+        orf, drf = ref.encode_with_dx(table=table, x=x)
+        assert ob.dtype == table.dtype and db.dtype == table.dtype
+        self._close(ob, orf)
+        self._close(db, drf)
+
+    def test_stoch_salt_path_close(self):
+        """Default SDF training path (stochastic table grads) honours the flag
+        in forward AND in its backward re-gather."""
+        bf, ref, table, x = self._pair()
+        salt = jnp.uint32(7)
+
+        def fwd_and_grads(enc_obj):
+            def f(t, xx):
+                return jnp.sum(jnp.sin(enc_obj(t, xx, stoch_salt=salt)))
+            o = enc_obj(table, x, stoch_salt=salt)
+            gt, gxx = jax.grad(f, argnums=(0, 1))(table, x)
+            return o, gt, gxx
+
+        ob, gtb, gxb = fwd_and_grads(bf)
+        orf, gtr, gxr = fwd_and_grads(ref)
+        assert gtb.dtype == table.dtype
+        self._close(ob, orf)
+        self._close(gtb, gtr)
+        self._close(gxb, gxr)

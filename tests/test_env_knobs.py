@@ -43,6 +43,10 @@ def test_each_knob_reaches_its_field():
     vec = _cfg(NEUSKY_VECTORIZED="1")
     assert vec.sdf_field.hash.vectorized
     assert all(p.hash.vectorized for p in vec.proposal_fields)
+    bft = _cfg(NEUSKY_BF16_TABLES="1")
+    assert bft.sdf_field.hash.bf16_gather
+    assert all(p.hash.bf16_gather for p in bft.proposal_fields)
+    assert not _cfg(NEUSKY_BF16_TABLES="0").sdf_field.hash.bf16_gather
 
 
 def test_knob_summary_reports_set_knobs():

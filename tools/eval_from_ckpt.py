@@ -46,6 +46,13 @@ def main():
         "--no-fit", action="store_true",
         help="skip the test-time latent fit (render with checkpoint latents)",
     )
+    ap.add_argument(
+        "--prior-dir", default=None,
+        help="illumination_prior_dir the checkpoint was TRAINED with (must "
+        "match tools/train_sanity.py --prior-dir): fit_eval_latents seeds "
+        "from ITS init_latent.npz — seeding from a different prior's latent "
+        "restarts the dead-plateau fit the seed exists to avoid (PERF.md r4)",
+    )
     args = ap.parse_args()
 
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
@@ -82,6 +89,10 @@ def main():
             num_train_data=8, num_eval_data=args.num_eval_cameras
         )
     )
+    if args.prior_dir:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, illumination_prior_dir=args.prior_dir)
     model = NeuSkyModel(cfg)
 
     train_scene = generate_synthetic_scene(
@@ -198,6 +209,7 @@ def main():
         },
         "env_knobs": knob_summary(),
         "effective": effective_summary(cfg),
+        "prior_dir": cfg.illumination_prior_dir,
     }
     out_path = Path(args.out)
     out_path.parent.mkdir(parents=True, exist_ok=True)
