@@ -29,6 +29,10 @@ same knobs), so that an A/B pair differs only in its environment:
 - ``NEUSKY_BF16_TABLES={0,1}`` — gather hash-table corners through a bf16
   cast of each level table (halves random-access gather bytes; fp32
   master table, scatter backward, and encode output dtype unchanged).
+- ``NEUSKY_DDF_HASH_LEVELS=<n>`` / ``NEUSKY_DDF_HASH_LOG2=<n>`` — shrink
+  the DDF hash grid (only used with ``NEUSKY_DDF_ENCODING=hash``): the
+  reference's full-size 16-level/2^19 DDF grid costs ≫10× joint-step
+  time, so the quality A/B runs a cheaper grid.
 
 Reference step semantics being benchmarked:
 ``/root/reference/neusky/pipelines/neusky_pipeline.py:240-291``.
@@ -114,6 +118,24 @@ def apply_env_knobs(cfg):
         cfg = dataclasses.replace(
             cfg, sdf_field=dataclasses.replace(cfg.sdf_field, stochastic_dxt=on)
         )
+    if os.environ.get("NEUSKY_DDF_HASH_LEVELS", "") or os.environ.get(
+        "NEUSKY_DDF_HASH_LOG2", ""
+    ):
+        h = cfg.ddf.field.hash
+        if os.environ.get("NEUSKY_DDF_HASH_LEVELS", ""):
+            h = dataclasses.replace(
+                h, num_levels=int(os.environ["NEUSKY_DDF_HASH_LEVELS"])
+            )
+        if os.environ.get("NEUSKY_DDF_HASH_LOG2", ""):
+            h = dataclasses.replace(
+                h, log2_hashmap_size=int(os.environ["NEUSKY_DDF_HASH_LOG2"])
+            )
+        cfg = dataclasses.replace(
+            cfg,
+            ddf=dataclasses.replace(
+                cfg.ddf, field=dataclasses.replace(cfg.ddf.field, hash=h)
+            ),
+        )
     if os.environ.get("NEUSKY_DDF_ENCODING", ""):
         cfg = dataclasses.replace(
             cfg,
@@ -177,6 +199,8 @@ def knob_summary() -> dict:
         "NEUSKY_VECTORIZED",
         "NEUSKY_DDF_ENCODING",
         "NEUSKY_BF16_TABLES",
+        "NEUSKY_DDF_HASH_LEVELS",
+        "NEUSKY_DDF_HASH_LOG2",
     )
     return {k: os.environ[k] for k in keys if os.environ.get(k, "") != ""}
 
@@ -199,6 +223,8 @@ def effective_summary(cfg) -> dict:
         "sdf_stochastic_table_grads": bool(cfg.sdf_field.stochastic_table_grads),
         "sdf_stochastic_dxt": bool(cfg.sdf_field.stochastic_dxt),
         "ddf_position_encoding": cfg.ddf.field.position_encoding_type,
+        "ddf_hash_levels": cfg.ddf.field.hash.num_levels,
+        "ddf_hash_log2": cfg.ddf.field.hash.log2_hashmap_size,
         "sdf_hash_vectorized": bool(cfg.sdf_field.hash.vectorized),
         "hash_bf16_gather": bool(cfg.sdf_field.hash.bf16_gather),
         "proposal_hash_levels": [p.hash.num_levels for p in cfg.proposal_fields],

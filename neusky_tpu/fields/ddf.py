@@ -40,6 +40,12 @@ _DDF_HASH = HashGridConfig(
 class DDFFieldConfig:
     position_encoding_type: str = "hash"  # hash | nerf | sh | none
     direction_encoding_type: str = "nerf"
+    hash: HashGridConfig = _DDF_HASH
+    """Grid for hash position/direction encodings.  Default matches the
+    reference DDF grid (``neusky/configs/neusky_config.py:162-177``: 16
+    levels, 2^19 table); shrink via ``NEUSKY_DDF_HASH_LEVELS`` /
+    ``NEUSKY_DDF_HASH_LOG2`` for the hash-vs-nerf quality A/B (full-size
+    hash measured ≫10× joint-step cost — PERF.md r3)."""
     conditioning: str = "FiLM"  # FiLM | Concat | Attention
     termination_output_activation: str = "sigmoid"  # sigmoid | tanh | relu
     probability_of_hit_output_activation: str = "sigmoid"
@@ -92,10 +98,10 @@ class DirectionalDistanceField(nn.Module):
         self._pos_hash = None
         self._dir_hash = None
         if c.position_encoding_type == "hash":
-            self._pos_hash = HashGridEncoding(_DDF_HASH)
+            self._pos_hash = HashGridEncoding(c.hash)
             self.pos_table = self.param("pos_hash_table", self._pos_hash.init)
         if c.direction_encoding_type == "hash":
-            self._dir_hash = HashGridEncoding(_DDF_HASH)
+            self._dir_hash = HashGridEncoding(c.hash)
             self.dir_table = self.param("dir_hash_table", self._dir_hash.init)
 
         self._n_depth = c.num_dirac_components

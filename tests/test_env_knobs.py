@@ -46,7 +46,13 @@ def test_each_knob_reaches_its_field():
     bft = _cfg(NEUSKY_BF16_TABLES="1")
     assert bft.sdf_field.hash.bf16_gather
     assert all(p.hash.bf16_gather for p in bft.proposal_fields)
+    assert bft.ddf.field.hash.bf16_gather
     assert not _cfg(NEUSKY_BF16_TABLES="0").sdf_field.hash.bf16_gather
+    dh = _cfg(NEUSKY_DDF_HASH_LEVELS="8", NEUSKY_DDF_HASH_LOG2="15")
+    assert dh.ddf.field.hash.num_levels == 8
+    assert dh.ddf.field.hash.log2_hashmap_size == 15
+    # only the DDF grid shrinks — SDF grid untouched
+    assert dh.sdf_field.hash.num_levels == 16
 
 
 def test_knob_summary_reports_set_knobs():
