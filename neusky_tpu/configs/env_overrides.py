@@ -29,6 +29,10 @@ same knobs), so that an A/B pair differs only in its environment:
 - ``NEUSKY_BF16_TABLES={0,1}`` — gather hash-table corners through a bf16
   cast of each level table (halves random-access gather bytes; fp32
   master table, scatter backward, and encode output dtype unchanged).
+- ``NEUSKY_FUSED_GT={0,1}`` — fuse the scene forward and the DDF
+  ground-truth render into one concatenated proposal+field pass
+  (halves the hash encode/scatter call sites; reference-equivalent in
+  train mode — ``models/neusky.py::forward_with_ddf_gt``).
 - ``NEUSKY_DDF_HASH_LEVELS=<n>`` / ``NEUSKY_DDF_HASH_LOG2=<n>`` — shrink
   the DDF hash grid (only used with ``NEUSKY_DDF_ENCODING=hash``): the
   reference's full-size 16-level/2^19 DDF grid costs ≫10× joint-step
@@ -118,6 +122,11 @@ def apply_env_knobs(cfg):
         cfg = dataclasses.replace(
             cfg, sdf_field=dataclasses.replace(cfg.sdf_field, stochastic_dxt=on)
         )
+    if os.environ.get("NEUSKY_FUSED_GT", "") != "":
+        on = os.environ["NEUSKY_FUSED_GT"].strip().lower() not in (
+            "0", "false", "off", "no",
+        )
+        cfg = dataclasses.replace(cfg, fused_ddf_gt_pass=on)
     if os.environ.get("NEUSKY_DDF_HASH_LEVELS", "") or os.environ.get(
         "NEUSKY_DDF_HASH_LOG2", ""
     ):
@@ -201,6 +210,7 @@ def knob_summary() -> dict:
         "NEUSKY_BF16_TABLES",
         "NEUSKY_DDF_HASH_LEVELS",
         "NEUSKY_DDF_HASH_LOG2",
+        "NEUSKY_FUSED_GT",
     )
     return {k: os.environ[k] for k in keys if os.environ.get(k, "") != ""}
 
@@ -227,6 +237,7 @@ def effective_summary(cfg) -> dict:
         "ddf_hash_log2": cfg.ddf.field.hash.log2_hashmap_size,
         "sdf_hash_vectorized": bool(cfg.sdf_field.hash.vectorized),
         "hash_bf16_gather": bool(cfg.sdf_field.hash.bf16_gather),
+        "fused_ddf_gt_pass": bool(cfg.fused_ddf_gt_pass),
         "proposal_hash_levels": [p.hash.num_levels for p in cfg.proposal_fields],
         "proposal_hash_log2": [
             p.hash.log2_hashmap_size for p in cfg.proposal_fields

@@ -152,6 +152,13 @@ class NeuSkyModelConfig:
     gt_probe_background: tuple = (0.35, 0.55, 0.95)
     """sRGB sky colour composited behind the scene in probe mode (must
     match the synthetic scene's ``sky_colour``)."""
+    fused_ddf_gt_pass: bool = False
+    """Run the scene forward and the DDF ground-truth render as ONE
+    concatenated proposal+field pass (``forward_with_ddf_gt``) instead of
+    two equal-size passes.  Reference-equivalent in train mode (both calls
+    go through the same train-mode sampler/field there); halves the hash
+    encode / scatter op count.  A/B: ``NEUSKY_FUSED_GT``; ignored when
+    ``stop_sdf_gradients`` or no DDF fit."""
     sdf_level_set_subset: int = 64
     """Directions per ray for the sdf-at-termination query feeding
     ``sdf_level_set_visibility_loss``.  The reference evaluates the SDF at
@@ -653,6 +660,114 @@ class NeuSkyModel:
             method=self.field.field_outputs,
         )
         weights, trans = weights_and_transmittance_from_alphas(field_out["alpha"])
+        return self._compose_outputs(
+            params, (k_illum, k_grid, k_stoch), rb, rs, field_out, weights,
+            trans, weights_list, samples_list, image_indices, ray_image_idx,
+            step, train, fitting_eval_latents, rotation,
+        )
+
+    def forward_with_ddf_gt(
+        self,
+        params,
+        rng: jax.Array,
+        ray_bundle: RayBundle,
+        image_indices: jnp.ndarray,
+        ray_image_idx: jnp.ndarray,
+        gt_ray_bundle: RayBundle,
+        step: jnp.ndarray = 0,
+        train: bool = True,
+        fitting_eval_latents: bool = False,
+        rotation: Optional[jnp.ndarray] = None,
+        gt_mask_threshold: float = 0.0,
+    ) -> Tuple[Dict[str, Any], Dict[str, jnp.ndarray]]:
+        """Fused scene forward + DDF ground truth: ONE proposal+field pass
+        over the scene rays and the DDF-GT sphere rays concatenated.
+
+        Parity: the reference feeds BOTH its scene forward
+        (``neusky_model.py:553-931``) and ``generate_ddf_ground_truth``
+        (``neusky_model.py:1337-1367``) through the SAME proposal sampler
+        and field modules — in train mode during training, since
+        nerfstudio's stratified jitter follows the module-level
+        ``self.training`` flag — just as two separate calls.  Concatenating
+        the bundles is therefore the reference semantics with half the hash
+        encode / Pallas scatter call sites (the dominant traced step cost —
+        PERF.md r3: hash machinery 51%, a long tail of per-level ops).
+        Interlevel-loss inputs are sliced back to the scene rays only, so
+        loss semantics are unchanged.  Train path only; the eval and
+        stop-gradient paths keep the separate methods."""
+        c = self.config
+        k_prop, k_illum, k_grid, k_stoch = jax.random.split(rng, 4)
+        n_scene = ray_bundle.num_rays
+        rb_s = self.apply_collider(ray_bundle)
+        rb_g = self.apply_collider(gt_ray_bundle)
+        rb = jax.tree_util.tree_map(
+            lambda a, b: jnp.concatenate([a, b], axis=0), rb_s, rb_g
+        )
+        rs, weights_list, samples_list = proposal_sample(
+            k_prop, rb,
+            self.density_fns(params, k_stoch if train else None),
+            c.proposal, train=train, step=step,
+        )
+        field_out = self.field.apply(
+            params["fields"], rs, True, c.cos_anneal_ratio,
+            self._field_salt(k_stoch if train else None),
+            method=self.field.field_outputs,
+        )
+        weights, trans = weights_and_transmittance_from_alphas(field_out["alpha"])
+
+        def head(t):
+            return jax.tree_util.tree_map(lambda x: x[:n_scene], t)
+
+        def tail(t):
+            return jax.tree_util.tree_map(lambda x: x[n_scene:], t)
+
+        outputs = self._compose_outputs(
+            params, (k_illum, k_grid, k_stoch), head(rb), head(rs),
+            head(field_out), weights[:n_scene], trans[:n_scene],
+            [w[:n_scene] for w in weights_list],
+            [head(s) for s in samples_list],
+            image_indices, ray_image_idx, step, train,
+            fitting_eval_latents, rotation,
+        )
+
+        # DDF supervision from the GT slice (``generate_ddf_ground_truth``
+        # semantics, ``neusky_model.py:1337-1367``)
+        w_g = weights[n_scene:]
+        rs_g = tail(rs)
+        accum = render_accumulation(w_g)
+        gt = {
+            "accumulations": accum,
+            "mask": (accum > gt_mask_threshold).astype(jnp.float32),
+            "termination_dist": jnp.clip(
+                render_depth(w_g, rs_g), None, 2.0 * c.ddf_radius
+            ),
+            "normals": render_normal(w_g, field_out["normal"][n_scene:]),
+        }
+        return outputs, gt
+
+    def _compose_outputs(
+        self,
+        params,
+        keys,
+        rb: RayBundle,
+        rs,
+        field_out: Dict[str, jnp.ndarray],
+        weights: jnp.ndarray,
+        trans: jnp.ndarray,
+        weights_list,
+        samples_list,
+        image_indices: jnp.ndarray,
+        ray_image_idx: jnp.ndarray,
+        step: jnp.ndarray,
+        train: bool,
+        fitting_eval_latents: bool,
+        rotation: Optional[jnp.ndarray],
+    ) -> Dict[str, Any]:
+        """Everything after the field pass: illumination, visibility,
+        shading, renderers, outputs dict (shared by ``forward`` and
+        ``forward_with_ddf_gt``)."""
+        c = self.config
+        k_illum, k_grid, k_stoch = keys
         bg_transmittance = trans[:, -1, :]
         weights_list = weights_list + [weights]
         samples_list = samples_list + [rs]
@@ -736,13 +851,22 @@ class NeuSkyModel:
         ray_bundle: RayBundle,
         mask_threshold: float = 0.0,
         stop_gradients: bool = False,
+        step: Optional[jnp.ndarray] = None,
     ) -> Dict[str, jnp.ndarray]:
         """Render DDF supervision from the scene SDF
         (``generate_ddf_ground_truth``, ``neusky_model.py:1337-1367``):
         accumulation mask, clamped termination distance, normals.  With
         ``stop_gradients=False`` (canonical config,
         ``configs/neusky_config.py:45``) gradients flow from the DDF losses
-        back into the SDF."""
+        back into the SDF.
+
+        ``step`` anneals the proposal PDF exactly as the scene pass does —
+        the reference routes this call through the SAME sampler instance
+        whose anneal is set globally per train iteration
+        (``neusky_model.py:1343``, nerfstudio ``set_anneal`` callback), so
+        passing the current step is the faithful semantics;
+        ``forward_with_ddf_gt`` does.  Default None keeps the historical
+        un-annealed behaviour of the separate pipeline call."""
         c = self.config
         k_prop, k_stoch = jax.random.split(rng)
         rb = self.apply_collider(ray_bundle)
@@ -752,7 +876,7 @@ class NeuSkyModel:
         rs, _, _ = proposal_sample(
             k_prop, rb,
             self.density_fns(params, None if stop_gradients else k_stoch),
-            c.proposal, train=False,
+            c.proposal, train=False, step=step,
         )
         field_out = self.field.apply(
             params["fields"], rs, True, c.cos_anneal_ratio,

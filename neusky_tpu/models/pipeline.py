@@ -83,6 +83,10 @@ def scene_loss_fn(
         step=step,
         train=True,
     )
+    return _scene_losses(model, params, outputs, batch)
+
+
+def _scene_losses(model, params, outputs, batch):
     loss_dict = model.loss_dict(params, outputs, batch, train=True)
     metrics = model.metrics_dict(params, outputs, batch)
     total = jnp.asarray(0.0)
@@ -98,20 +102,27 @@ def ddf_fit_loss_fn(
     rng: jax.Array,
     batch: Dict[str, Any],
     step: jnp.ndarray,
+    vis_bundle=None,
+    gt=None,
 ) -> Tuple[jnp.ndarray, Dict[str, Any]]:
     """DDF-fit half: vMF sphere rays rendered against the SDF as GT
-    (``generate_ddf_samples``, ``neusky_pipeline.py:493-515``) + DDF losses."""
+    (``generate_ddf_samples``, ``neusky_pipeline.py:493-515``) + DDF losses.
+
+    ``vis_bundle``/``gt`` precomputed by the fused scene+GT pass
+    (``forward_with_ddf_gt``) skip the separate GT render here."""
     k_vis_sample, k_vis_gt, k_ddf = jax.random.split(rng, 3)
-    vis_bundle = vmf_ddf_samples(
-        k_vis_sample,
-        pipeline_config.visibility_train_sampler,
-        ddf_sphere_radius=model.config.ddf_radius,
-    )
-    gt = model.generate_ddf_ground_truth(
-        params, k_vis_gt, vis_bundle,
-        mask_threshold=pipeline_config.visibility_accumulation_mask_threshold,
-        stop_gradients=pipeline_config.stop_sdf_gradients,
-    )
+    if vis_bundle is None:
+        vis_bundle = vmf_ddf_samples(
+            k_vis_sample,
+            pipeline_config.visibility_train_sampler,
+            ddf_sphere_radius=model.config.ddf_radius,
+        )
+    if gt is None:
+        gt = model.generate_ddf_ground_truth(
+            params, k_vis_gt, vis_bundle,
+            mask_threshold=pipeline_config.visibility_accumulation_mask_threshold,
+            stop_gradients=pipeline_config.stop_sdf_gradients,
+        )
     ddf_batch = dict(gt)
     sky_bundle = batch_sky_bundle(batch)
     if sky_bundle is not None:
@@ -169,11 +180,45 @@ def train_loss_fn(
       - ``sky_ray_bundle``: RayBundle [K] (optional; for the DDF sky loss)
     """
     k_scene, k_ddf = jax.random.split(rng)
-    total, aux = scene_loss_fn(model, params, k_scene, batch, step)
-    if model.config.fit_visibility_field and model.ddf is not None:
-        ddf_total, ddf_aux = ddf_fit_loss_fn(
-            model, pipeline_config, params, k_ddf, batch, step
+    fit_ddf = model.config.fit_visibility_field and model.ddf is not None
+    fused = (
+        model.config.fused_ddf_gt_pass
+        and fit_ddf
+        and not pipeline_config.stop_sdf_gradients
+    )
+    if fused:
+        # one concatenated proposal+field pass produces the scene outputs
+        # AND the DDF ground truth (forward_with_ddf_gt docstring for the
+        # parity argument); the vMF bundle is drawn with the same key the
+        # unfused path would use
+        k_vis_sample, _, _ = jax.random.split(k_ddf, 3)
+        vis_bundle = vmf_ddf_samples(
+            k_vis_sample,
+            pipeline_config.visibility_train_sampler,
+            ddf_sphere_radius=model.config.ddf_radius,
         )
+        outputs, gt = model.forward_with_ddf_gt(
+            params, k_scene,
+            batch_ray_bundle(batch),
+            batch["image_indices"], batch["ray_image_idx"],
+            vis_bundle, step=step, train=True,
+            gt_mask_threshold=(
+                pipeline_config.visibility_accumulation_mask_threshold
+            ),
+        )
+        total, aux = _scene_losses(model, params, outputs, batch)
+        ddf_total, ddf_aux = ddf_fit_loss_fn(
+            model, pipeline_config, params, k_ddf, batch, step,
+            vis_bundle=vis_bundle, gt=gt,
+        )
+    else:
+        total, aux = scene_loss_fn(model, params, k_scene, batch, step)
+        ddf_total = ddf_aux = None
+        if fit_ddf:
+            ddf_total, ddf_aux = ddf_fit_loss_fn(
+                model, pipeline_config, params, k_ddf, batch, step
+            )
+    if ddf_aux is not None:
         total = total + ddf_total
         aux = {
             "loss_dict": {**aux["loss_dict"], **ddf_aux["loss_dict"]},

@@ -359,3 +359,74 @@ def test_checkpoint_roundtrip(sphere_scene, tmp_path):
     b = jax.tree_util.tree_leaves(trainer2.params)
     for x, y in zip(a, b):
         assert np.allclose(np.array(x), np.array(y))
+
+
+def test_fused_ddf_gt_matches_separate(sphere_scene):
+    """``forward_with_ddf_gt`` (one concatenated proposal+field pass) must
+    match the two separate passes — the fusion changes op structure, not
+    math.  Compared in deterministic eval mode (train=False: no stratified
+    jitter, no stochastic estimators), where the scene slice must equal
+    ``forward`` and the GT slice must equal ``generate_ddf_ground_truth``
+    (its ``stop_gradients=True`` variant is the deterministic one)."""
+    _, dm = sphere_scene
+    from neusky_tpu.models.pipeline import batch_ray_bundle
+    from neusky_tpu.sampling.ddf_sampler import vmf_ddf_samples
+
+    cfg = tiny_model_config(use_visibility=True, fit_visibility=True)
+    model = NeuSkyModel(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    batch = dm.next_train(0)
+    rb = batch_ray_bundle(batch)
+    vis = vmf_ddf_samples(
+        jax.random.PRNGKey(5),
+        DDFSamplerConfig(
+            num_samples_on_sphere=2, num_rays_per_sample=16,
+            only_sample_upper_hemisphere=True, concentration=20.0,
+        ),
+        ddf_sphere_radius=cfg.ddf_radius,
+    )
+    k = jax.random.PRNGKey(3)
+    step = jnp.asarray(100.0)
+    out_f, gt_f = model.forward_with_ddf_gt(
+        params, k, rb, batch["image_indices"], batch["ray_image_idx"],
+        vis, step=step, train=False, gt_mask_threshold=0.5,
+    )
+    out_s = model.forward(
+        params, k, rb, batch["image_indices"], batch["ray_image_idx"],
+        step=step, train=False,
+    )
+    gt_s = model.generate_ddf_ground_truth(
+        params, k, vis, mask_threshold=0.5, stop_gradients=True, step=step,
+    )
+    for key in (
+        "rgb", "albedo", "accumulation", "depth", "normal", "visibility",
+        "bg_transmittance", "sdf_at_termination",
+    ):
+        np.testing.assert_allclose(
+            np.asarray(out_f[key]), np.asarray(out_s[key]),
+            rtol=1e-5, atol=1e-5, err_msg=key,
+        )
+    for key in gt_s:
+        np.testing.assert_allclose(
+            np.asarray(gt_f[key]), np.asarray(gt_s[key]),
+            rtol=1e-5, atol=1e-5, err_msg=key,
+        )
+
+
+def test_fused_joint_step_trains(sphere_scene):
+    """Full joint step with NEUSKY_FUSED_GT semantics (fused_ddf_gt_pass):
+    runs, all losses present and finite, loss decreases."""
+    import dataclasses
+
+    _, dm = sphere_scene
+    cfg = dataclasses.replace(
+        tiny_model_config(use_visibility=True, fit_visibility=True),
+        fused_ddf_gt_pass=True,
+    )
+    trainer = _tiny_trainer(cfg, dm, steps=12)
+    history = trainer.run()
+    first, last = history[0], history[-1]
+    assert np.isfinite(last["total_loss"])
+    assert "depth_l1_loss" in last and "sky_ray_loss" in last
+    assert "sdf_level_set_visibility_loss" in last
+    assert last["total_loss"] < first["total_loss"]
