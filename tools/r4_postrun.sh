@@ -42,7 +42,9 @@ run /tmp/r4_post_proto.log python -m neusky_tpu.cli eval neusky \
   --output results/r4_nerfosr_protocol.json \
   --model.illumination_prior_dir "$PRIOR"
 
-# 3-4. Perf A/Bs (VERDICT task 4). Box must be QUIET during these.
+# 3-6. Perf A/Bs (VERDICT task 4). Box must be QUIET during these.
 bench results/r4_bench_base2.json
+bench results/r4_bench_fusedgt.json NEUSKY_FUSED_GT=1
 bench results/r4_bench_bf16tables.json NEUSKY_BF16_TABLES=1
+bench results/r4_bench_fused_bf16t.json NEUSKY_FUSED_GT=1 NEUSKY_BF16_TABLES=1
 echo "postrun queue complete $(date)"
