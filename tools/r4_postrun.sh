@@ -47,4 +47,23 @@ bench results/r4_bench_base2.json
 bench results/r4_bench_fusedgt.json NEUSKY_FUSED_GT=1
 bench results/r4_bench_bf16tables.json NEUSKY_BF16_TABLES=1
 bench results/r4_bench_fused_bf16t.json NEUSKY_FUSED_GT=1 NEUSKY_BF16_TABLES=1
+
+# 7. Fused-GT training-quality A/B: 2k steps, same prior/config as the long
+#    run's first 2k steps (results/r4_long_variational.jsonl is the control
+#    arm). Compare psnr/ddf_depth_psnr/loss at matched steps before any
+#    default flip.
+echo "=== $(date +%H:%M:%S) :: fused-GT 2k quality arm" | tee -a /tmp/r4_post_ab.log
+NEUSKY_FUSED_GT=1 bash tools/run_segmented.sh 2000 /root/ckpts/r4_fused2k \
+  results/r4_ab_fusedgt.jsonl --prior-dir checkpoints/reni_prior_variational \
+  2>&1 | tail -5 | tee -a /tmp/r4_post_ab.log
+sleep "$GAP"
+
+# 8. DDF hash-vs-nerf quality A/B at a FEASIBLE grid (VERDICT task 5): the
+#    nerf arm is again the long run's first 2k steps.
+echo "=== $(date +%H:%M:%S) :: DDF-hash 2k quality arm" | tee -a /tmp/r4_post_ab.log
+NEUSKY_DDF_ENCODING=hash NEUSKY_DDF_HASH_LEVELS=8 NEUSKY_DDF_HASH_LOG2=15 \
+  LOG_EVERY=25 STALE_S=900 \
+  bash tools/run_segmented.sh 2000 /root/ckpts/r4_ddfhash2k \
+  results/r4_ab_ddfhash2k.jsonl --prior-dir checkpoints/reni_prior_variational \
+  2>&1 | tail -5 | tee -a /tmp/r4_post_ab.log
 echo "postrun queue complete $(date)"
