@@ -29,6 +29,10 @@ same knobs), so that an A/B pair differs only in its environment:
 - ``NEUSKY_BF16_TABLES={0,1}`` — gather hash-table corners through a bf16
   cast of each level table (halves random-access gather bytes; fp32
   master table, scatter backward, and encode output dtype unchanged).
+- ``NEUSKY_VIS_REMAT={full,dots}`` — visibility chunk remat policy:
+  ``dots`` saves FiLM matmul outputs so the backward skips recomputing
+  them (r3 trace: bwd while 66 ms, ~27 ms matmul), at ~[chunk, hidden]
+  saved activations per chunk.
 - ``NEUSKY_FUSED_GT={0,1}`` — fuse the scene forward and the DDF
   ground-truth render into one concatenated proposal+field pass
   (halves the hash encode/scatter call sites; reference-equivalent in
@@ -122,6 +126,10 @@ def apply_env_knobs(cfg):
         cfg = dataclasses.replace(
             cfg, sdf_field=dataclasses.replace(cfg.sdf_field, stochastic_dxt=on)
         )
+    if os.environ.get("NEUSKY_VIS_REMAT", ""):
+        cfg = dataclasses.replace(
+            cfg, visibility_remat_policy=os.environ["NEUSKY_VIS_REMAT"]
+        )
     if os.environ.get("NEUSKY_FUSED_GT", "") != "":
         on = os.environ["NEUSKY_FUSED_GT"].strip().lower() not in (
             "0", "false", "off", "no",
@@ -211,6 +219,7 @@ def knob_summary() -> dict:
         "NEUSKY_DDF_HASH_LEVELS",
         "NEUSKY_DDF_HASH_LOG2",
         "NEUSKY_FUSED_GT",
+        "NEUSKY_VIS_REMAT",
     )
     return {k: os.environ[k] for k in keys if os.environ.get(k, "") != ""}
 
@@ -238,6 +247,7 @@ def effective_summary(cfg) -> dict:
         "sdf_hash_vectorized": bool(cfg.sdf_field.hash.vectorized),
         "hash_bf16_gather": bool(cfg.sdf_field.hash.bf16_gather),
         "fused_ddf_gt_pass": bool(cfg.fused_ddf_gt_pass),
+        "visibility_remat_policy": cfg.visibility_remat_policy,
         "proposal_hash_levels": [p.hash.num_levels for p in cfg.proposal_fields],
         "proposal_hash_log2": [
             p.hash.log2_hashmap_size for p in cfg.proposal_fields

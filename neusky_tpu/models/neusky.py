@@ -134,6 +134,7 @@ class NeuSkyModelConfig:
     optimise_compare_eval_scale: bool = False
     mask_to_building_in_metrics: bool = False
     visibility_query_chunk: int = 32768  # DDF queries per remat chunk
+    visibility_remat_policy: str = "full"  # full | dots (see _chunked_apply)
     sdf_query_chunk: int = 0
     """Chunk for the sdf-at-termination query; 0 → single call.  Unlike the
     N·D DDF queries, the strided-subset SDF query is small (N×subset) and
@@ -174,6 +175,7 @@ def _chunked_apply(
     args: Tuple[jnp.ndarray, ...],
     chunk: int,
     constrain_chunk: Optional[Callable] = None,
+    remat_policy: str = "full",
 ):
     """Run ``fn`` over the leading axis in fixed chunks with remat.
 
@@ -186,6 +188,13 @@ def _chunked_apply(
     elements per iteration instead of materialising its whole N·D shard at
     once (the reference OOMs exactly here at canonical scale,
     ``neusky_model.py:1685-1699``).
+
+    ``remat_policy``: ``full`` recomputes the whole chunk body in the
+    backward (minimum memory); ``dots`` saves matmul outputs
+    (``dots_with_no_batch_dims_saveable``) so the backward skips
+    recomputing the FiLM matmuls — the r3 trace puts the bwd while at
+    66 ms/step of which ~27 ms is (re)matmul; trades ~[chunk, hidden]
+    activations per chunk for that recompute.  A/B: ``NEUSKY_VIS_REMAT``.
     """
     m = args[0].shape[0]
     num_chunks = max(1, -(-m // chunk))
@@ -201,7 +210,14 @@ def _chunked_apply(
             out = jax.tree_util.tree_map(constrain_chunk, out)
         return out
 
-    out = jax.lax.map(jax.checkpoint(body), stacked)
+    if remat_policy == "dots":
+        ck = jax.checkpoint(
+            body,
+            policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+        )
+    else:
+        ck = jax.checkpoint(body)
+    out = jax.lax.map(ck, stacked)
     return jax.tree_util.tree_map(
         lambda o: o.reshape(num_chunks * chunk, *o.shape[2:])[:m], out
     )
@@ -512,10 +528,13 @@ class NeuSkyModel:
                 constrain_chunk=lambda x: self._constrain(
                     x, (("data", "dirs"),) + (None,) * (x.ndim - 1)
                 ),
+                remat_policy=c.visibility_remat_policy,
             )
         else:
             out = _chunked_apply(
-                ddf_query, (sphere_pts, -dir_nd), self.config.visibility_query_chunk
+                ddf_query, (sphere_pts, -dir_nd),
+                self.config.visibility_query_chunk,
+                remat_policy=c.visibility_remat_policy,
             )
         expected = out["expected_termination_dist"]  # [N*D]
 

@@ -48,6 +48,7 @@ def test_each_knob_reaches_its_field():
     assert all(p.hash.bf16_gather for p in bft.proposal_fields)
     assert bft.ddf.field.hash.bf16_gather
     assert not _cfg(NEUSKY_BF16_TABLES="0").sdf_field.hash.bf16_gather
+    assert _cfg(NEUSKY_VIS_REMAT="dots").visibility_remat_policy == "dots"
     assert _cfg(NEUSKY_FUSED_GT="1").fused_ddf_gt_pass
     assert not _cfg(NEUSKY_FUSED_GT="0").fused_ddf_gt_pass
     dh = _cfg(NEUSKY_DDF_HASH_LEVELS="8", NEUSKY_DDF_HASH_LOG2="15")

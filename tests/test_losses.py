@@ -119,3 +119,29 @@ def test_scale_loss_dict():
     out = L.scale_loss_dict(d, {"a": 0.5})
     assert np.allclose(float(out["a"]), 1.0)
     assert np.allclose(float(out["b"]), 3.0)
+
+
+def test_chunked_apply_remat_policy_identical():
+    """``remat_policy='dots'`` changes what the backward recomputes, never
+    the math: outputs and gradients must be bit-identical to ``full``."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from neusky_tpu.models.neusky import _chunked_apply
+
+    w = jax.random.normal(jax.random.PRNGKey(0), (8, 8))
+    x = jax.random.normal(jax.random.PRNGKey(1), (37, 8))
+
+    def run(policy):
+        def loss(w_):
+            def body(xx):
+                return jnp.sin(xx @ w_) @ w_.T
+            out = _chunked_apply(body, (x,), 16, remat_policy=policy)
+            return jnp.sum(out ** 2)
+        return jax.value_and_grad(loss)(w)
+
+    vf, gf = run("full")
+    vd, gd = run("dots")
+    np.testing.assert_array_equal(np.asarray(vf), np.asarray(vd))
+    np.testing.assert_array_equal(np.asarray(gf), np.asarray(gd))

@@ -47,6 +47,7 @@ bench results/r4_bench_base2.json
 bench results/r4_bench_fusedgt.json NEUSKY_FUSED_GT=1
 bench results/r4_bench_bf16tables.json NEUSKY_BF16_TABLES=1
 bench results/r4_bench_fused_bf16t.json NEUSKY_FUSED_GT=1 NEUSKY_BF16_TABLES=1
+bench results/r4_bench_visremat.json NEUSKY_FUSED_GT=1 NEUSKY_VIS_REMAT=dots
 
 # 7. Fused-GT training-quality A/B: 2k steps, same prior/config as the long
 #    run's first 2k steps (results/r4_long_variational.jsonl is the control
