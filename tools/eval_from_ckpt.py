@@ -43,6 +43,12 @@ def main():
     ap.add_argument("--width", type=int, default=64)
     ap.add_argument("--chunk-size", type=int, default=4096)
     ap.add_argument(
+        "--tiny", action="store_true",
+        help="evaluate a neusky-tiny checkpoint (CPU-feasible REHEARSAL of "
+        "the full eval protocol — same code path, tiny model; used to "
+        "de-risk the TPU run against the real checkpoint)",
+    )
+    ap.add_argument(
         "--no-fit", action="store_true",
         help="skip the test-time latent fit (render with checkpoint latents)",
     )
@@ -84,11 +90,19 @@ def main():
 
     # identical model config to tools/train_sanity.py (same knobs) so the
     # checkpoint restores exactly
-    cfg = apply_env_knobs(
-        neusky_model_config(
-            num_train_data=8, num_eval_data=args.num_eval_cameras
+    n_train = 6 if args.tiny else 8
+    if args.tiny:
+        from neusky_tpu.configs.tiny_config import tiny_model_config
+
+        cfg = apply_env_knobs(
+            tiny_model_config(n_train, args.num_eval_cameras)
         )
-    )
+    else:
+        cfg = apply_env_knobs(
+            neusky_model_config(
+                num_train_data=n_train, num_eval_data=args.num_eval_cameras
+            )
+        )
     if args.prior_dir:
         import dataclasses
 
@@ -96,7 +110,7 @@ def main():
     model = NeuSkyModel(cfg)
 
     train_scene = generate_synthetic_scene(
-        SyntheticSceneConfig(num_cameras=8, width=64, height=64)
+        SyntheticSceneConfig(num_cameras=n_train, width=64, height=64)
     )
     # eval ring: azimuth midpoints between train cameras + a different
     # height — genuinely novel viewpoints of the same scene
@@ -110,7 +124,9 @@ def main():
     )
     dm = DataManager(
         DataManagerConfig(
-            pixel_sampler=PixelSamplerConfig(images_per_batch=8, rays_per_image=128),
+            pixel_sampler=PixelSamplerConfig(
+                images_per_batch=n_train, rays_per_image=128
+            ),
             num_sky_rays=256,
         ),
         train_scene["cameras"], train_scene["images"], train_scene["masks"],
