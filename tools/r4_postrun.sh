@@ -67,4 +67,11 @@ NEUSKY_DDF_ENCODING=hash NEUSKY_DDF_HASH_LEVELS=8 NEUSKY_DDF_HASH_LOG2=15 \
   bash tools/run_segmented.sh 2000 /root/ckpts/r4_ddfhash2k \
   results/r4_ab_ddfhash2k.jsonl --prior-dir checkpoints/reni_prior_variational \
   2>&1 | tail -5 | tee -a /tmp/r4_post_ab.log
+# 9. GT-illumination ceiling probe (VERDICT task 6): oracle light table in
+#    place of RENI — the synthetic-scene PSNR ceiling becomes a measured
+#    number ("post-fix run reaches Y of ceiling Z").
+echo "=== $(date +%H:%M:%S) :: GT-illumination ceiling 5k" | tee -a /tmp/r4_post_ab.log
+bash tools/run_segmented.sh 5000 /root/ckpts/r4_ceiling \
+  results/r4_ceiling.jsonl --gt-illumination \
+  2>&1 | tail -5 | tee -a /tmp/r4_post_ab.log
 echo "postrun queue complete $(date)"
