@@ -72,6 +72,26 @@ def main():
         "synthetic-scene PSNR ceiling so 'converged' is quantified",
     )
     ap.add_argument(
+        "--eval-images", type=int, default=0,
+        help="render this many held-out eval cameras (same split recipe as "
+        "tools/eval_from_ckpt.py: angle offset π/8, height 0.5) at every "
+        "segment boundary and at completion, after a test-time latent fit "
+        "across ALL eval images (the r5-fixed eval path) — logs "
+        "eval_psnr_mean / per-image eval_psnr to --out so long runs are "
+        "tracked on the metric the reference reports "
+        "(``neusky_pipeline.py:392-444``), not train-batch PSNR",
+    )
+    ap.add_argument(
+        "--eval-fit-steps", type=int, default=150,
+        help="Adam steps for the per-boundary eval-latent fit",
+    )
+    ap.add_argument(
+        "--tiny", action="store_true",
+        help="CPU-feasible rehearsal: tiny model + 16px scene (same code "
+        "path, same flags — used to smoke the segmented/eval wiring "
+        "without the TPU)",
+    )
+    ap.add_argument(
         "--segment-steps", type=int, default=0,
         help="exit cleanly (after a checkpoint) once this many steps ran in "
         "THIS invocation — long runs go as a bash resume-loop of bounded "
@@ -116,7 +136,13 @@ def main():
 
     # same env A/B knobs as bench.py (NEUSKY_BENCH_BF16, NEUSKY_EXACT_*, …)
     # so training-dynamics A/Bs run the exact config the bench measures
-    cfg = apply_env_knobs(neusky_model_config(num_train_data=8, num_eval_data=2))
+    if args.tiny:
+        from neusky_tpu.configs.tiny_config import tiny_model_config
+
+        cfg = apply_env_knobs(tiny_model_config(num_train_data=8, num_eval_data=2))
+    else:
+        cfg = apply_env_knobs(neusky_model_config(num_train_data=8, num_eval_data=2))
+    scene_px = 16 if args.tiny else 64
     if args.ddf_encoding != cfg.ddf.field.position_encoding_type:
         cfg = dataclasses.replace(
             cfg,
@@ -132,6 +158,11 @@ def main():
         cfg = dataclasses.replace(cfg, gt_illumination_probe=True)
     if args.prior_dir:
         cfg = dataclasses.replace(cfg, illumination_prior_dir=args.prior_dir)
+    if args.eval_images:
+        # eval-latent slots are sized by num_eval_data at init; keep
+        # --eval-images constant across the segments of one run (the
+        # checkpoint carries the [N, D, 3] eval_latents group)
+        cfg = dataclasses.replace(cfg, num_eval_data=args.eval_images)
     # provenance AFTER all config overrides so the logged effective config
     # is the one that actually trains
     prov = {"env_knobs": knob_summary(), "effective": effective_summary(cfg)}
@@ -152,7 +183,7 @@ def main():
         num_sky_rays=256,
     )
     scene = generate_synthetic_scene(
-        SyntheticSceneConfig(num_cameras=8, width=64, height=64)
+        SyntheticSceneConfig(num_cameras=8, width=scene_px, height=scene_px)
     )
     dm = DataManager(
         DataManagerConfig(
@@ -169,6 +200,80 @@ def main():
     optimizer = build_optimizer(params, default_neusky_optimizer_groups(num_steps + 1))
     opt_state = optimizer.init(params)
     step_fn = make_train_step(model, pipe, optimizer)
+
+    def beat():
+        if args.heartbeat:
+            with open(args.heartbeat, "w") as f:
+                f.write("eval")
+
+    _eval_state = {}
+
+    def run_boundary_eval(eval_params, at_step):
+        """Held-out eval-image PSNR via the r5-fixed eval path (fit cycles
+        EVERY eval image — ``engine/eval_loop.py``).  Runs after the
+        boundary checkpoint is saved, on a COPY of params (the fit's
+        latent updates never enter training state).  Touches the
+        heartbeat between phases: the first boundary pays the fit-scan +
+        render compiles, which would otherwise outlive the watchdog's
+        staleness window."""
+        if not args.eval_images:
+            return
+        from neusky_tpu.engine.eval_loop import (
+            eval_image_metrics,
+            fit_eval_latents,
+            make_render_chunk_fn,
+        )
+
+        if not _eval_state:
+            es = generate_synthetic_scene(
+                SyntheticSceneConfig(
+                    num_cameras=args.eval_images, width=scene_px, height=scene_px,
+                    angle_offset=float(np.pi / 8.0), camera_height=0.5,
+                )
+            )
+            _eval_state["dm"] = DataManager(
+                DataManagerConfig(
+                    pixel_sampler=PixelSamplerConfig(
+                        images_per_batch=min(8, args.eval_images),
+                        rays_per_image=128,
+                    ),
+                    num_sky_rays=256,
+                ),
+                scene["cameras"], scene["images"], scene["masks"],
+                eval_cameras=es["cameras"], eval_images=es["images"],
+                eval_masks=es["masks"],
+            )
+            _eval_state["chunk"] = make_render_chunk_fn(model)
+        edm = _eval_state["dm"]
+        chunk_fn, chunk = _eval_state["chunk"]
+        k_fit, k_render = jax.random.split(
+            jax.random.fold_in(jax.random.PRNGKey(5), at_step)
+        )
+        beat()
+        t_ev = time.perf_counter()
+        fit_params, fit_losses = fit_eval_latents(
+            model, eval_params, edm, k_fit, steps=args.eval_fit_steps
+        )
+        beat()
+        psnrs = []
+        for ei in range(args.eval_images):
+            m = eval_image_metrics(
+                model, fit_params, edm, ei, k_render, chunk_fn, chunk
+            )
+            m.pop("outputs", None)
+            psnrs.append(float(m["psnr"]))
+            beat()
+        rec = {
+            "eval_at": at_step,
+            "eval_psnr": [round(p, 3) for p in psnrs],
+            "eval_psnr_mean": round(float(np.mean(psnrs)), 3),
+            "eval_fit_loss_last": round(float(fit_losses[-1]), 5),
+            "eval_seconds": round(time.perf_counter() - t_ev, 1),
+        }
+        print(json.dumps(rec), flush=True)
+        if args.out:
+            with open(args.out, "a") as f:
+                f.write(json.dumps(rec) + "\n")
 
     start = 0
     if args.resume and args.ckpt_dir:
@@ -202,6 +307,7 @@ def main():
             from neusky_tpu.engine.checkpoint import save_checkpoint
 
             save_checkpoint(args.ckpt_dir, i + 1, params, opt_state)
+            run_boundary_eval(params, i + 1)
             print(json.dumps({"segment_done_at": i + 1}), flush=True)
             sys.exit(3)
         if (i + 1) % log_every == 0 or i == start:
@@ -234,6 +340,7 @@ def main():
 
         save_checkpoint(args.ckpt_dir, num_steps, params, opt_state)
         print(json.dumps({"ckpt": args.ckpt_dir, "step": num_steps}), flush=True)
+    run_boundary_eval(params, num_steps)
 
     if args.shadow_out:
         from neusky_tpu.engine.render_features import render_shadow_map
