@@ -30,7 +30,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("steps", nargs="?", type=int, default=1500)
     ap.add_argument("log_every", nargs="?", type=int, default=100)
-    ap.add_argument("--ddf-encoding", choices=("nerf", "hash"), default="nerf")
+    # default None = "keep the config/env-knob value": an explicit CLI
+    # default of "nerf" silently OVERRODE NEUSKY_DDF_ENCODING=hash after
+    # apply_env_knobs — the r4 postrun DDF-hash A/B arm ran the CONTROL
+    # config because of exactly this (caught r5; results/r4_ab_ddfhash2k
+    # .jsonl is a control-config run, superseded by r5_ab_ddfhash2k)
+    ap.add_argument("--ddf-encoding", choices=("nerf", "hash"), default=None)
     ap.add_argument("--out", default=None, help="also append JSON records here")
     ap.add_argument(
         "--shadow-out", default=None,
@@ -143,7 +148,10 @@ def main():
     else:
         cfg = apply_env_knobs(neusky_model_config(num_train_data=8, num_eval_data=2))
     scene_px = 16 if args.tiny else 64
-    if args.ddf_encoding != cfg.ddf.field.position_encoding_type:
+    if (
+        args.ddf_encoding is not None
+        and args.ddf_encoding != cfg.ddf.field.position_encoding_type
+    ):
         cfg = dataclasses.replace(
             cfg,
             ddf=dataclasses.replace(
@@ -313,7 +321,7 @@ def main():
         if (i + 1) % log_every == 0 or i == start:
             rec = {
                 "step": i + 1,
-                "ddf_encoding": args.ddf_encoding,
+                "ddf_encoding": cfg.ddf.field.position_encoding_type,
                 "psnr": round(float(aux["metrics"]["psnr"]), 3),
                 "ddf_depth_psnr": round(float(aux["metrics"]["ddf_depth_psnr"]), 3),
                 "total_loss": round(float(aux["total_loss"]), 4),
