@@ -1007,6 +1007,17 @@ class NeuSkyModel:
         psnr = -10.0 * jnp.log10(jnp.maximum(mse, 1e-10))
         inv_s = jnp.clip(jnp.exp(params["fields"]["params"]["variance"] * 10.0), 1e-6, 1e6)
         m = {"psnr": psnr, "inv_s": inv_s[0], "s_val": 1.0 / inv_s[0]}
+        if "mask" in batch:
+            # foreground-masked PSNR: the whole-batch PSNR mixes sky-region
+            # compositing error into the scene-fit signal (the r5 GT-probe
+            # run showed batch PSNR FALLING while foreground rgb_l1
+            # improved 5x — the coarse probe sky dominates the mean as
+            # opacity sharpens); psnr_fg isolates the surface fit
+            fg = batch["mask"][..., 1:2]  # channel 1 = fg (see loss_dict)
+            mse_fg = jnp.sum(fg * (outputs["rgb"] - batch["image"]) ** 2) / (
+                3.0 * jnp.maximum(jnp.sum(fg), 1.0)
+            )
+            m["psnr_fg"] = -10.0 * jnp.log10(jnp.maximum(mse_fg, 1e-10))
         if "visibility_sigmoid" in params:
             m["visibility_threshold"] = params["visibility_sigmoid"]["visibility_threshold"]
         return m

@@ -323,6 +323,10 @@ def main():
                 "step": i + 1,
                 "ddf_encoding": cfg.ddf.field.position_encoding_type,
                 "psnr": round(float(aux["metrics"]["psnr"]), 3),
+                **(
+                    {"psnr_fg": round(float(aux["metrics"]["psnr_fg"]), 3)}
+                    if "psnr_fg" in aux["metrics"] else {}
+                ),
                 "ddf_depth_psnr": round(float(aux["metrics"]["ddf_depth_psnr"]), 3),
                 "total_loss": round(float(aux["total_loss"]), 4),
                 "s_val": round(float(aux["metrics"]["s_val"]), 5),
