@@ -28,7 +28,7 @@ def main():
     import signal
 
     # persistent compile cache: full-scale executables take minutes to build
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
     os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "10")
 
     # The device tunnel can wedge so hard that even jax.devices() blocks

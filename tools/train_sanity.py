@@ -111,7 +111,7 @@ def main():
     # every few thousand steps; without the cache EVERY segment pays the
     # full ~10 min step-fn compile (and run_segmented.sh's grace window
     # killed healthy compiling segments — observed r3)
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
     os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "10")
 
     import jax
