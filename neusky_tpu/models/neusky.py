@@ -133,7 +133,10 @@ class NeuSkyModelConfig:
     eval_latent_optimise_method: str = "per_image"
     optimise_compare_eval_scale: bool = False
     mask_to_building_in_metrics: bool = False
-    visibility_query_chunk: int = 32768  # DDF queries per remat chunk
+    visibility_query_chunk: int = 16384  # DDF queries per remat chunk
+    """Swept on TPU (PERF.md): 65536 −1.6%, 32768 base, 16384 +0.6%
+    (6049.7 vs 6012.7 rays/s, stddev 0.3, quiet box, r5) — perf-only
+    knob, chunked remat is exact so the sweep needs no quality arm."""
     visibility_remat_policy: str = "full"  # full | dots (see _chunked_apply)
     sdf_query_chunk: int = 0
     """Chunk for the sdf-at-termination query; 0 → single call.  Unlike the
