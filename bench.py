@@ -261,6 +261,12 @@ def main():
             f"contaminated: loadavg {load_before:.2f} before bench on a "
             "1-core box — wall-clock rate unreliable"
         )
+    if trace_dir:
+        out["traced"] = True
+        out["warning"] = (
+            "PROFILER RUN — 3 steps under jax.profiler; value is NOT a "
+            "throughput measurement"
+        )
     print(json.dumps(out))
 
 
